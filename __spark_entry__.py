@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: full dedup pipeline (signatures -> LSH bands ->
+               salted bucket join -> signature-jaccard verify -> connected
+               components -> classification cascade) over the synthetic
+               pages table at sf0.001.
+queries()    — one entry per implemented operator from SURVEY.md §2,
+               each oracle-checked against DuckDB at sf0.01.
+oracle_sql() — the DuckDB twins (portable md5-prefix hashing makes even
+               MinHash/LSH/clustering value-hash-exact across engines).
 """
 
 from __future__ import annotations
@@ -16,23 +19,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from lasvdedup_spark.config import DedupConfig
+    from lasvdedup_spark.pipeline import dedup
+    from lasvdedup_spark.sources.pages import synth_pages_with_dups
+
+    pages, _truth = synth_pages_with_dups(spark, "/root/testdata/sf0.001")
+    cfg = DedupConfig()
+    out = dedup(spark, pages, cfg)
+    # stable schema + deterministic order for the smoke check
+    return out.select(
+        "url",
+        "component",
+        "classification",
+        "decision_category",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "rep_id",
+    ).orderBy("url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lasvdedup_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lasvdedup_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

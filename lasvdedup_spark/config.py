@@ -1,0 +1,133 @@
+"""Config layer: defaults < YAML file < explicit overrides.
+
+Mirrors the precedence semantics of the reference's ``build_config``
+(/root/reference/lasvdedup/utils/config_setup.py:102-204: CLI > custom YAML >
+packaged default, with type validation and nested merge) without copying its
+structure — ours is a flat dataclass because the engine is a library, not a
+Snakemake wrapper.
+
+The config *fingerprint* (stable hash of every semantics-affecting field)
+keys the stage-checkpoint directory, giving Snakemake-style "skip finished
+stages" resume (/root/reference/lasvdedup/pipeline.py:70-78).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import random
+from dataclasses import dataclass, field
+from typing import Optional
+
+# Modulus for the universal hash family used by MinHash permutations.
+# Mersenne prime 2^31-1: with 28-bit shingle hashes and a < 2^31 the product
+# a*h + b stays < 2^60, safely inside int64 for BOTH Spark and DuckDB
+# (DuckDB raises on bigint overflow; Spark would silently wrap).
+MINHASH_PRIME = 2_147_483_647
+
+
+def make_permutations(num_perms: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the minhash universal-hash family.
+
+    Seeded so the same config always yields the same signatures — required
+    both for resume correctness and for the DuckDB oracle, which embeds the
+    same literals into its SQL.
+    """
+    rng = random.Random(seed)
+    perms = []
+    for _ in range(num_perms):
+        a = rng.randrange(1, MINHASH_PRIME)
+        b = rng.randrange(0, MINHASH_PRIME)
+        perms.append((a, b))
+    return perms
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs of the dedup pipeline.
+
+    Threshold semantics follow the reference: the duplicate predicate is
+    *inclusive* (distance <= PWD at sequence_grouping.py:51-53, boundary
+    behavior tested at tests/utils/test_sequence_grouping.py:103-105).
+    Similarity = 1 - distance, so ours is jaccard >= threshold, inclusive.
+    """
+
+    # --- shingling / MinHash ---
+    # Banding shape matters for the recall>=0.99 gate: the duplicate edge is
+    # "signature agreement >= jaccard_threshold", and with b bands of r rows
+    # a pair agreeing on fraction s of positions is a candidate with
+    # p ~= 1-(1-s^r)^b. At s=0.5: b=16,r=4 -> 0.65 (fails the gate);
+    # b=32,r=2 -> 0.9996. r=2 costs more candidate pairs at low similarity,
+    # which the cheap signature-agreement verify filters out.
+    shingle_k: int = 4            # words per shingle
+    num_perms: int = 64           # MinHash signature length
+    lsh_bands: int = 32           # bands (b) — b*r must equal num_perms
+    lsh_rows: int = 2             # rows per band (r)
+    perm_seed: int = 42
+
+    # --- thresholds (similarity space; inclusive >=) ---
+    jaccard_threshold: float = 0.5     # duplicate edge: exact-on-signature jaccard
+    strong_threshold: float = 0.8      # "all pairs this similar" => BelowThreshold case
+    simhash_hamming: int = 3           # near-identical tier (60-bit simhash)
+    substring_min_tokens: int = 16     # long-shared-span tier (token L-gram)
+
+    # --- classification cascade (reference analogs) ---
+    clade_size: int = 8                # config.yaml:34 CLADE_SIZE
+    z_threshold: float = 2.0           # config.yaml Z_THRESHOLD (outlier z)
+    target_length: int = 300           # TARGET_LENGTH analog (chars of text)
+    # Reference-faithful: outliers are BAD (sequence_grouping.py:316-325).
+    # True = web-dedup mode: outliers detach as their own kept documents.
+    detach_outliers: bool = False
+
+    # --- scale / skew controls ---
+    max_bucket_size: Optional[int] = None  # cap LSH bucket fan-out; None = exact
+    salt_buckets: int = 8                  # salt fan-out for skewed bucket joins
+    shuffle_partitions: int = 32
+
+    # --- hashing family ---
+    hash_family: str = "md5"      # "md5" (portable / oracle-checkable) | "xxhash64" (prod fast path)
+
+    # --- checkpointing ---
+    checkpoint_dir: Optional[str] = None   # None = no stage checkpoints
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perms:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+        if self.hash_family not in ("md5", "xxhash64"):
+            raise ValueError(f"unknown hash_family: {self.hash_family}")
+
+    # -- derived --
+    @property
+    def permutations(self) -> list[tuple[int, int]]:
+        return make_permutations(self.num_perms, self.perm_seed)
+
+    def fingerprint(self) -> str:
+        """Stable hash over semantics-affecting fields (checkpoint key)."""
+        d = dataclasses.asdict(self)
+        d.pop("checkpoint_dir", None)        # where to checkpoint ≠ what to compute
+        d.pop("shuffle_partitions", None)    # physical, not semantic
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.md5(blob).hexdigest()[:12]
+
+    def with_overrides(self, **kw) -> "DedupConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides) -> "DedupConfig":
+        """YAML < explicit kwargs, matching reference precedence
+        (config_setup.py:117-201). Unknown keys fail fast, like the
+        reference's validate_and_cast (config_setup.py:55-100)."""
+        import yaml  # stdlib-adjacent; present wherever pyspark is
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        raw.update(overrides)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**raw)

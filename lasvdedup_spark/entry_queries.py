@@ -1,0 +1,753 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each ``QUERIES`` entry is a Spark implementation of an operator from
+SURVEY.md §2; ``ORACLES`` holds the equivalent DuckDB SQL over the same
+parquet tables (views: region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Portability rules that make value-hash comparison exact:
+  * hashing is the md5-hex-prefix family (functions/hashing.py) — verified
+    bit-identical between engines;
+  * minhash signature agreement is n/64 with 64 a power of two, so every
+    jaccard, mean, median and MAD downstream is an exact binary fraction —
+    cross-engine float equality is genuinely exact, not approximate;
+  * integer outputs are cast to bigint on the Spark side (DuckDB aggregates
+    return int64);
+  * free-floating doubles (cosine scores) are rounded to 6 decimals and both
+    engines compute the sums in textual left-to-right order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import MINHASH_PRIME, DedupConfig
+from lasvdedup_spark.functions.hashing import (
+    minhash_sig_expr,
+    portable_hash60,
+    sig_jaccard_expr,
+)
+from lasvdedup_spark.functions.text import shingles_expr, tokens_expr
+
+CFG = DedupConfig()  # the shared shingle/signature config for all queries
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments (mirror of functions/hashing.py + functions/text.py)
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split(lower(trim(text)), ' ')"
+
+
+def _dk_h60(e: str) -> str:
+    return f"('0x' || substr(md5({e}),1,15))::BIGINT"
+
+
+def _dk_h28(e: str) -> str:
+    return f"('0x' || substr(md5({e}),1,7))::BIGINT"
+
+
+def _dk_shingles(k: int) -> str:
+    return (
+        f"list_distinct([array_to_string(toks[i+1:i+{k}], ' ') "
+        f"for i in range(greatest(len(toks)-{k},0)+1)])"
+    )
+
+
+def _dk_perms() -> str:
+    return "[" + ",".join(f"[{a},{b}]" for a, b in CFG.permutations) + "]"
+
+
+def _dk_sig() -> str:
+    return (
+        f"[list_min([(p[1] * {_dk_h28('s')} + p[2]) % {MINHASH_PRIME} "
+        f"for s in shingles]) for p in {_dk_perms()}]"
+    )
+
+
+_DK_SIG_CTE = f"""
+tok as (select doc_id, {_TOKS} as toks from documents),
+shing as (select doc_id, {_dk_shingles(CFG.shingle_k)} as shingles from tok),
+sig as (select doc_id, {_dk_sig()} as sig from shing)
+"""
+
+_DK_BANDS_CTE = _DK_SIG_CTE + f""",
+bands as (
+  select doc_id,
+         unnest([cast(i as varchar) || ':' ||
+                 array_to_string(sig[i*{CFG.lsh_rows}+1:i*{CFG.lsh_rows}+{CFG.lsh_rows}], ',')
+                 for i in range({CFG.lsh_bands})]) as bucket
+  from sig)
+"""
+
+_DK_SIGJ = (
+    f"list_sum([(sa.sig[i+1] = sb.sig[i+1])::INT for i in range({CFG.num_perms})])"
+    f" / {float(CFG.num_perms)}"
+)
+
+_DK_PAIRS_CTE = _DK_BANDS_CTE + f""",
+cand as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_bands
+  from bands a join bands b using (bucket)
+  where a.doc_id < b.doc_id
+  group by 1, 2),
+verified as (
+  select c.id_a, c.id_b, {_DK_SIGJ} as jaccard
+  from cand c
+  join sig sa on sa.doc_id = c.id_a
+  join sig sb on sb.doc_id = c.id_b
+  qualify jaccard >= {CFG.jaccard_threshold})
+"""
+# NB: DuckDB has QUALIFY; but keep it simple with a subquery instead:
+_DK_PAIRS_CTE = _DK_BANDS_CTE + f""",
+cand as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_bands
+  from bands a join bands b using (bucket)
+  where a.doc_id < b.doc_id
+  group by 1, 2),
+scored as (
+  select c.id_a, c.id_b, {_DK_SIGJ} as jaccard
+  from cand c
+  join sig sa on sa.doc_id = c.id_a
+  join sig sb on sb.doc_id = c.id_b),
+verified as (select * from scored where jaccard >= {CFG.jaccard_threshold})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side shared builders
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.minhash import signatures
+
+    return signatures(_docs(spark, sf_dir), CFG, id_col="doc_id")
+
+
+def _doc_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.minhash import (
+        band_buckets,
+        candidate_pairs,
+        verified_pairs,
+    )
+
+    sigs = _doc_sigs(spark, sf_dir)
+    return verified_pairs(candidate_pairs(band_buckets(sigs, CFG), CFG), sigs, CFG)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.exact import exact_dup_clusters
+
+    return exact_dup_clusters(_docs(spark, sf_dir), id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "content_hash",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "is_duplicate",
+    )
+
+
+O_EXACT_DUP_CLUSTERS = """
+select doc_id,
+       md5(text) as content_hash,
+       count(*) over (partition by md5(text)) as cluster_size,
+       min(doc_id) over (partition by md5(text)) as rep_id,
+       doc_id != min(doc_id) over (partition by md5(text)) as is_duplicate
+from documents
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens_expr("text"))).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+O_TOKEN_COUNTS = f"""
+select doc_id,
+       len({_TOKS}) as n_tokens,
+       len(list_distinct({_TOKS})) as n_distinct_tokens
+from documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality features: token stats + type/token ratio + mean token
+    length + stopword ratio — the 'quality scoring' family of a training-data
+    pipeline, all JVM-side."""
+    stop = "array('the','a','of','and','to','in','is','it')"
+    d = _docs(spark, sf_dir).withColumn("toks", tokens_expr("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 6).alias("type_token_ratio"),
+        F.round(
+            F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") / F.size("toks"), 6
+        ).alias("mean_token_len"),
+        F.round(
+            F.expr(f"size(filter(toks, t -> array_contains({stop}, t)))") / F.size("toks"), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+O_QUALITY_SCORES = f"""
+with t as (select doc_id, text, {_TOKS} as toks from documents)
+select doc_id,
+       length(text) as len_chars,
+       len(toks) as n_tokens,
+       round(len(list_distinct(toks)) / len(toks), 6) as type_token_ratio,
+       round(list_sum([length(x) for x in toks]) / len(toks), 6) as mean_token_len,
+       round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) / len(toks), 6) as stopword_ratio
+from t
+"""
+
+
+def q_rank_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference sort_table parity (io_utils.py:48-55): global multi-key
+    rank — dist-to-target ASC, quality DESC, stable id tiebreak."""
+    d = _docs(spark, sf_dir).withColumn(
+        "dist_to_target", F.abs(F.col("n_chars") - F.lit(CFG.target_length))
+    )
+    w = Window.orderBy(F.asc("dist_to_target"), F.desc("n_chars"), F.asc("doc_id"))
+    return d.select(
+        "doc_id",
+        F.col("dist_to_target").cast("long").alias("dist_to_target"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+O_RANK_TABLE = f"""
+select doc_id,
+       abs(n_chars - {CFG.target_length}) as dist_to_target,
+       row_number() over (order by abs(n_chars - {CFG.target_length}) asc,
+                          n_chars desc, doc_id asc) as rank
+from documents
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_sigs(spark, sf_dir).select(F.col("id").alias("doc_id"), "sig")
+
+
+O_MINHASH_SIGNATURES = f"""
+with {_DK_SIG_CTE}
+select doc_id, sig from sig
+"""
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.minhash import band_buckets, candidate_pairs
+
+    sigs = _doc_sigs(spark, sf_dir)
+    return candidate_pairs(band_buckets(sigs, CFG), CFG).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_bands").cast("long").alias("n_bands"),
+    )
+
+
+O_LSH_CANDIDATE_PAIRS = f"""
+with {_DK_BANDS_CTE}
+select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_bands
+from bands a join bands b using (bucket)
+where a.doc_id < b.doc_id
+group by 1, 2
+"""
+
+
+def q_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_verified_pairs(spark, sf_dir).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+O_DUP_PAIRS_VERIFIED = f"""
+with {_DK_PAIRS_CTE}
+select id_a, id_b, jaccard from verified
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage duplicate clusters = connected components over
+    verified edges (sequence_grouping.py:89-118 semantics)."""
+    from lasvdedup_spark.operators.components import assign_components
+
+    docs = _docs(spark, sf_dir)
+    edges = _doc_verified_pairs(spark, sf_dir).select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    return assign_components(docs, edges, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+O_DUP_CLUSTERS = f"""
+with recursive {_DK_PAIRS_CTE},
+e as (select cast(id_a as varchar) a, cast(id_b as varchar) b from verified),
+und as (select a as u, b as v from e union select b, a from e),
+nodes as (select distinct cast(doc_id as varchar) as id from documents),
+reach(id, lbl) as (
+  select id, id from nodes
+  union
+  select u.v, r.lbl from reach r join und u on u.u = r.id
+)
+select id as doc_id, min(lbl) as component from reach group by id
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min 60-bit hash over the doc's
+    token L-grams (winnowing min-sample, L = substring_min_tokens)."""
+    from lasvdedup_spark.functions.text import lgrams_expr
+
+    L = CFG.substring_min_tokens
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", tokens_expr("text"))
+        .withColumn("lgrams", lgrams_expr(L))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_min(transform(lgrams, g -> cast(conv(substr(md5(g),1,15),16,10) as bigint)))"
+            ).alias("fingerprint"),
+        )
+    )
+
+
+O_DOC_FINGERPRINTS = f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+g as (select doc_id, {_dk_shingles(CFG.substring_min_tokens).replace('toks', 'toks')} as lgrams from t)
+select doc_id, list_min([{_dk_h60('x')} for x in lgrams]) as fingerprint from g
+"""
+
+
+def q_substring_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.substring import substring_dup_pairs
+
+    return substring_dup_pairs(_docs(spark, sf_dir), CFG, id_col="doc_id").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+    )
+
+
+O_SUBSTRING_CANDIDATE_PAIRS = f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+g as (select doc_id, unnest([{_dk_h60('x')} for x in {_dk_shingles(CFG.substring_min_tokens)}]) as gh from t)
+select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared_grams
+from g a join g b using (gh)
+where a.doc_id < b.doc_id
+group by 1, 2
+"""
+
+
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-key with collected member list — the reference's
+    sample_to_seqs map (sequence_grouping.py:13-49) as a DataFrame agg."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+    )
+
+
+O_GROUP_COLLECT = """
+select lang, count(*) as n_docs, list(doc_id order by doc_id) as doc_ids
+from documents group by lang
+"""
+
+
+def q_all_below_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal-quantifier aggregate parity (all(d <= t),
+    sequence_grouping.py:51-53): per source, is every doc <= 400 chars."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.expr("bool_and(n_chars <= 400)").alias("all_below"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+O_ALL_BELOW_THRESHOLD = """
+select source, bool_and(n_chars <= 400) as all_below, max(n_chars) as max_chars
+from documents group by source
+"""
+
+
+def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + MAD per group (distance_matrix.py:45-72 robust stats;
+    exactness matters — reference uses numpy median, so percentile_approx
+    would be wrong)."""
+    d = _docs(spark, sf_dir)
+    med = d.groupBy("lang").agg(F.median("n_chars").alias("med"))
+    return (
+        d.join(med, "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("med").alias("median_chars"),
+            F.median(F.abs(F.col("n_chars") - F.col("med"))).alias("mad_chars"),
+        )
+        .select("lang", F.round("median_chars", 6).alias("median_chars"),
+                F.round("mad_chars", 6).alias("mad_chars"))
+    )
+
+
+O_MEDIAN_MAD = """
+with med as (select lang, median(n_chars) as med from documents group by lang)
+select d.lang,
+       round(any_value(m.med), 6) as median_chars,
+       round(median(abs(d.n_chars - m.med)), 6) as mad_chars
+from documents d join med m on d.lang = m.lang
+group by d.lang
+"""
+
+
+def q_argmin_rank_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-min-by-rank representative per group (min_by semantics,
+    sequence_grouping.py:80-87): per source, the doc closest to target
+    length, ties -> higher n_chars, then lower doc_id."""
+    d = _docs(spark, sf_dir).withColumn(
+        "dist", F.abs(F.col("n_chars") - F.lit(CFG.target_length))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc("dist"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("doc_id").alias("rep_doc_id"),
+                F.col("dist").cast("long").alias("rep_dist"))
+    )
+
+
+O_ARGMIN_RANK_REPRESENTATIVE = f"""
+select source, doc_id as rep_doc_id, abs(n_chars - {CFG.target_length}) as rep_dist
+from documents
+qualify row_number() over (partition by source
+        order by abs(n_chars - {CFG.target_length}) asc, n_chars desc, doc_id asc) = 1
+"""
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract + grouping-key parity (sequence_grouping.py:26-40)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract("source", r"src(\d+)", 1).cast("long").alias("src_num"),
+    )
+
+
+O_REGEX_EXTRACT = r"""
+select doc_id, cast(regexp_extract(source, 'src(\d+)', 1) as bigint) as src_num
+from documents
+"""
+
+
+def q_left_join_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + null-side accounting (io_utils.py:135-144: look up each
+    classified doc, warn+skip on miss): docs joined to embeddings by id."""
+    d = _docs(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("has_vec")
+    )
+    return (
+        d.join(e, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("has_vec").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
+        )
+    )
+
+
+O_LEFT_JOIN_MISSES = """
+select d.lang, count(*) as n_docs,
+       sum(case when e.vec_id is null then 1 else 0 end) as n_missing
+from documents d left join embeddings e on d.doc_id = e.vec_id
+group by d.lang
+"""
+
+
+def q_broadcast_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join vs a small aggregated dimension — explicitly broadcast
+    (the reference's dict-lookup join, sequence_grouping.py:55-78)."""
+    d = _docs(spark, sf_dir)
+    stats = d.groupBy("source").agg(F.avg("n_chars").alias("src_avg"))
+    return (
+        d.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            F.round(F.col("src_avg"), 6).alias("src_avg_chars"),
+            (F.col("n_chars") > F.col("src_avg")).alias("above_avg"),
+        )
+    )
+
+
+O_BROADCAST_STATS_JOIN = """
+with s as (select source, avg(n_chars) as src_avg from documents group by source)
+select d.doc_id, round(s.src_avg, 6) as src_avg_chars, d.n_chars > s.src_avg as above_avg
+from documents d join s using (source)
+"""
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.simhash import simhash
+
+    return simhash(_docs(spark, sf_dir), id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def _o_simhash_cte() -> str:
+    from lasvdedup_spark.operators.simhash import SIMHASH_BITS
+
+    bit_sums = ", ".join(
+        f"sum(case when (h >> {j}) & 1 = 1 then w else -w end) as b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    reassemble = " + ".join(
+        f"(case when b{j} > 0 then {1 << j} else 0 end)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+tok as (
+  select doc_id, t.token, count(*) as w
+  from (select doc_id, unnest({_TOKS}) as token from documents) t(doc_id, token)
+  group by 1, 2),
+hashed as (select doc_id, {_dk_h60('token')} as h, w from tok),
+bits as (select doc_id, {bit_sums} from hashed group by doc_id),
+sh as (select doc_id, ({reassemble})::BIGINT as simhash from bits)
+"""
+
+
+def O_SIMHASH_SIGNATURES() -> str:
+    return f"with {_o_simhash_cte()} select doc_id, simhash from sh"
+
+
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.simhash import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(spark, sf_dir), CFG, id_col="doc_id").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def O_SIMHASH_DUP_PAIRS() -> str:
+    # oracle is brute-force all-pairs; the engine's 4-band pigeonhole join is
+    # guaranteed-equal for hamming <= 3 (operators/simhash.py)
+    return f"""
+with {_o_simhash_cte()}
+select a.doc_id as id_a, b.doc_id as id_b,
+       bit_count(xor(a.simhash, b.simhash)) as hamming
+from sh a join sh b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= {CFG.simhash_hamming}
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic (training-data-pipeline op): the
+    decision logic is the deliverable; identical lexicons on both sides."""
+    markers = "array('the','a','of','and','is')"
+    d = _docs(spark, sf_dir).withColumn("toks", tokens_expr("text"))
+    ratio = F.expr(f"size(filter(toks, t -> array_contains({markers}, t)))") / F.size("toks")
+    return d.select(
+        "doc_id",
+        F.round(ratio, 6).alias("marker_ratio"),
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias("predicted_lang"),
+    )
+
+
+O_LANG_ID = f"""
+with t as (select doc_id, {_TOKS} as toks from documents),
+r as (select doc_id,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) / len(toks) as ratio
+      from t)
+select doc_id, round(ratio, 6) as marker_ratio,
+       case when ratio >= 0.02 then 'en' else 'unknown' end as predicted_lang
+from r
+"""
+
+
+# --- embeddings / similarity search ---
+
+_N_PLANES = 6
+_EMB_DIM = 64
+_KNN_K = 5
+_N_QUERIES = 8
+
+
+def _planes() -> list[list[int]]:
+    from lasvdedup_spark.operators.ann import plane_signs
+
+    return plane_signs(_N_PLANES, _EMB_DIM)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.ann import knn_bruteforce
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    t = e.where(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("tid"), F.col("embedding").alias("tvec")
+    )
+    return knn_bruteforce(q, t, _KNN_K)
+
+
+def _dk_dot(a: str, b: str) -> str:
+    return " + ".join(
+        f"{a}[{i + 1}]::DOUBLE * {b}[{i + 1}]::DOUBLE" for i in range(_EMB_DIM)
+    )
+
+
+def O_KNN_BRUTEFORCE() -> str:
+    return f"""
+with q as (select vec_id as qid, embedding as qvec from embeddings where vec_id < {_N_QUERIES}),
+t as (select vec_id as tid, embedding as tvec from embeddings where vec_id >= {_N_QUERIES}),
+scored as (
+  select qid, tid,
+         ({_dk_dot('qvec', 'tvec')}) /
+         (sqrt({_dk_dot('qvec', 'qvec')}) * sqrt({_dk_dot('tvec', 'tvec')})) as score
+  from q cross join t)
+select qid, tid,
+       row_number() over (partition by qid order by score desc, tid asc) as pos,
+       round(score, 6) as score
+from scored
+qualify pos <= {_KNN_K}
+"""
+
+
+def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.ann import ann_buckets
+
+    return ann_buckets(_emb(spark, sf_dir), _planes()).select(
+        F.col("id").alias("vec_id"), "bucket"
+    )
+
+
+def O_ANN_BUCKETS() -> str:
+    planes = _planes()
+    terms = []
+    for p, row in enumerate(planes):
+        dot = " + ".join(
+            f"({s}) * embedding[{d + 1}]::DOUBLE" for d, s in enumerate(row)
+        )
+        terms.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
+    return f"select vec_id, ({' + '.join(terms)})::BIGINT as bucket from embeddings"
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.ann import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), _planes(), k=3).select(
+        F.col("qid"), F.col("tid"), "pos", "score"
+    )
+
+
+def O_ANN_LSH_TOPK() -> str:
+    planes = _planes()
+    terms = []
+    for p, row in enumerate(planes):
+        dot = " + ".join(
+            f"({s}) * embedding[{d + 1}]::DOUBLE" for d, s in enumerate(row)
+        )
+        terms.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
+    bucket = f"({' + '.join(terms)})::BIGINT"
+    return f"""
+with b as (select vec_id as id, embedding as vec, {bucket} as bucket from embeddings),
+cand as (
+  select a.id as qid, a.vec as qvec, t.id as tid, t.vec as tvec
+  from b a join b t using (bucket)
+  where a.id != t.id),
+scored as (
+  select qid, tid,
+         ({_dk_dot('qvec', 'tvec')}) /
+         (sqrt({_dk_dot('qvec', 'qvec')}) * sqrt({_dk_dot('tvec', 'tvec')})) as score
+  from cand)
+select qid, tid,
+       row_number() over (partition by qid order by score desc, tid asc) as pos,
+       round(score, 6) as score
+from scored
+qualify pos <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "rank_table": q_rank_table,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "dup_pairs_verified": q_dup_pairs_verified,
+    "dup_clusters": q_dup_clusters,
+    "doc_fingerprints": q_doc_fingerprints,
+    "substring_candidate_pairs": q_substring_candidate_pairs,
+    "group_collect": q_group_collect,
+    "all_below_threshold": q_all_below_threshold,
+    "median_mad": q_median_mad,
+    "argmin_rank_representative": q_argmin_rank_representative,
+    "regex_extract": q_regex_extract,
+    "left_join_misses": q_left_join_misses,
+    "broadcast_stats_join": q_broadcast_stats_join,
+    "simhash_signatures": q_simhash_signatures,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "lang_id": q_lang_id,
+    "knn_bruteforce": q_knn_bruteforce,
+    "ann_buckets": q_ann_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+ORACLES = {
+    "exact_dup_clusters": O_EXACT_DUP_CLUSTERS,
+    "token_counts": O_TOKEN_COUNTS,
+    "quality_scores": O_QUALITY_SCORES,
+    "rank_table": O_RANK_TABLE,
+    "minhash_signatures": O_MINHASH_SIGNATURES,
+    "lsh_candidate_pairs": O_LSH_CANDIDATE_PAIRS,
+    "dup_pairs_verified": O_DUP_PAIRS_VERIFIED,
+    "dup_clusters": O_DUP_CLUSTERS,
+    "doc_fingerprints": O_DOC_FINGERPRINTS,
+    "substring_candidate_pairs": O_SUBSTRING_CANDIDATE_PAIRS,
+    "group_collect": O_GROUP_COLLECT,
+    "all_below_threshold": O_ALL_BELOW_THRESHOLD,
+    "median_mad": O_MEDIAN_MAD,
+    "argmin_rank_representative": O_ARGMIN_RANK_REPRESENTATIVE,
+    "regex_extract": O_REGEX_EXTRACT,
+    "left_join_misses": O_LEFT_JOIN_MISSES,
+    "broadcast_stats_join": O_BROADCAST_STATS_JOIN,
+    "simhash_signatures": O_SIMHASH_SIGNATURES(),
+    "simhash_dup_pairs": O_SIMHASH_DUP_PAIRS(),
+    "lang_id": O_LANG_ID,
+    "knn_bruteforce": O_KNN_BRUTEFORCE(),
+    "ann_buckets": O_ANN_BUCKETS(),
+    "ann_lsh_topk": O_ANN_LSH_TOPK(),
+}

@@ -1,0 +1,98 @@
+"""Text functions: tokenization, shingling, HTML text extraction.
+
+The per-row invariant vs the reference (BASELINE.json input_hint) is
+*byte-identical extracted text per url*. Extraction exists in two forms:
+
+  * ``extract_text_udf`` — vectorized Arrow pandas UDF (the production path:
+    real-world HTML needs a Python parser; per-row Python is forbidden, so a
+    batch regex over a pandas Series).
+  * ``extract_text_sql`` — pure-SQL regexp form for the deterministic
+    synthetic template; used by oracle-checked queries and to *prove* the
+    UDF byte-identical (tests assert udf == sql == original text).
+
+Tokenization is whitespace-split over lowercased text — the analog of the
+reference's name normalization (spaces -> underscores,
+/root/reference/lasvdedup/utils/distance_matrix.py:16): a single canonical
+form computed once, used everywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# The deterministic HTML template used by the synthetic pages table.
+# Keep in sync between synth.py (builder) and the extractors below.
+HTML_PREFIX = "<html><head><title>d</title></head><body><p>"
+HTML_SUFFIX = "</p></body></html>"
+_EXTRACT_RE = r"<body><p>(.*)</p></body>"
+
+
+def wrap_html_expr(text_col: str, title_col: str) -> Column:
+    """Build the synthetic html binary column from text (deterministic)."""
+    return F.encode(
+        F.concat(
+            F.lit("<html><head><title>"),
+            F.col(title_col),
+            F.lit("</title></head><body><p>"),
+            F.col(text_col),
+            F.lit(HTML_SUFFIX),
+        ),
+        "UTF-8",
+    )
+
+
+def extract_text_udf():
+    """Arrow-vectorized HTML -> text extraction (batch regex, no per-row
+    Python loop in user code; pandas .str ops are the vector kernel).
+
+    Factory (not module-level decoration): pandas_udf resolves its return
+    type against the active SparkSession, which need not exist at import.
+    """
+
+    @pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        s = html.apply(lambda b: b.decode("utf-8", errors="replace"))
+        return s.str.extract(_EXTRACT_RE, expand=False).fillna("")
+
+    return _extract
+
+
+def extract_text_sql(html_col: str = "html") -> Column:
+    """Pure-SQL twin of extract_text_udf for the synthetic template."""
+    return F.regexp_extract(F.decode(F.col(html_col), "UTF-8"), _EXTRACT_RE, 1)
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Canonical tokenization: lowercase, trim, split on whitespace runs."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles_expr(k: int, tokens_col: str = "tokens") -> Column:
+    """Distinct word k-shingles as array<string>.
+
+    Docs shorter than k tokens produce their single full-text "shingle"
+    (sequence(0, size-k) with size<k yields an empty range; we guard with
+    greatest() so every doc has >= 1 shingle — a doc with no shingles could
+    never match anything, including an exact copy of itself).
+    """
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(0, greatest(size({tokens_col}) - {k}, 0)), "
+        f"  i -> concat_ws(' ', slice({tokens_col}, i + 1, {k}))))"
+    )
+
+
+def lgrams_expr(length: int, tokens_col: str = "tokens") -> Column:
+    """Contiguous L-token grams (NOT distinct-deduped shingle set) — the
+    long-shared-span tier: two docs share an L-token contiguous span iff
+    they share at least one L-gram. Exact, no suffix array needed for the
+    membership question; the suffix-array applyInPandas op reports actual
+    span lengths for candidates (operators/substring.py)."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(0, greatest(size({tokens_col}) - {length}, 0)), "
+        f"  i -> concat_ws(' ', slice({tokens_col}, i + 1, {length}))))"
+    )

@@ -1,0 +1,187 @@
+"""Rank, representative selection, and the 5-way classification cascade.
+
+Reference semantics being reproduced (web mapping per SURVEY §2.8):
+
+  * rank: multi-key sort [dist_to_target ASC, quality cols DESC], rank = row
+    position, ties stable (/root/reference/lasvdedup/utils/io_utils.py:48-55);
+    distributed equivalent: explicit id tiebreak — order-isomorphic within
+    every group, hence identical selections (tie test
+    tests/utils/test_sequence_grouping.py:139-145 accepts either on true ties).
+  * representative: arg-min rank per cluster (sequence_grouping.py:80-87).
+  * cascade (sequence_grouping.py:185-353, README.md:14-26):
+      1 SingleSequence   singleton component            -> good
+      2 BelowThreshold   ALL pairs >= strong_threshold  -> rep good, rest bad
+      3 SmallClade       small component, mixed sims    -> rep good, rest bad
+      4 OutliersDetected big component with robust-stat outliers -> best
+        non-outlier good, everyone else (incl. outliers) bad
+        (sequence_grouping.py:292-325); all-outlier fallback keeps everyone
+        in play (sequence_grouping.py:297-300). With cfg.detach_outliers
+        (web-dedup mode) outliers are instead detached as kept documents —
+        an outlier is *not* a duplicate of the cluster, deleting it would
+        lose data.
+      5 TrueCoinfection  big component, no outliers     -> ALL kept
+        ("coinfection": distinct-but-related, classification.py:167-173)
+
+  * outlier rule (distance_matrix.py:45-72): score > median + z*MAD with the
+    MAD=0 fallback median + evolution_threshold, where evolution_threshold =
+    (1-strong_threshold)/z  (reference: PWD/Z_THRESHOLD,
+    sequence_grouping.py:291). Score here = mean distance (1 - mean jaccard)
+    to other component members — the web analog of root-to-tip depth.
+    Medians are EXACT (F.median), matching numpy (distance_matrix.py:53-54).
+
+Everything is grouped aggregates + window functions — one pass over members,
+one over pairs, no driver iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import DedupConfig
+
+GOOD, BAD, COINFECTION = "good", "bad", "coinfection"
+
+
+def rank_members(
+    members: DataFrame,
+    cfg: DedupConfig,
+    length_col: str = "n_chars",
+    quality_cols: tuple[str, ...] = (),
+    id_col: str = "id",
+    partition_by: str | None = "component",
+) -> DataFrame:
+    """Attach dist_to_target + rank.
+
+    partition_by=None gives the reference's *global* rank (io_utils.py:48-55)
+    — fine for oracle parity queries, a single-partition hazard at scale.
+    Partitioned rank is order-isomorphic per group (SURVEY §2.5), which is
+    the only way rank is ever consumed (sequence_grouping.py:87).
+    """
+    d = members.withColumn(
+        "dist_to_target", F.abs(F.col(length_col) - F.lit(cfg.target_length))
+    )
+    keys = [F.asc("dist_to_target"), *[F.desc(c) for c in quality_cols], F.asc(id_col)]
+    w = Window.orderBy(*keys) if partition_by is None else Window.partitionBy(
+        partition_by
+    ).orderBy(*keys)
+    return d.withColumn("rank", F.row_number().over(w))
+
+
+def classify(
+    assignments: DataFrame,   # (id, component)
+    edges: DataFrame,         # (id_a, id_b, jaccard) verified duplicate edges
+    stats: DataFrame,         # (id, n_chars, ...) member metadata for ranking
+    cfg: DedupConfig,
+    quality_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """-> classifications(id, component, classification, decision_category,
+          rank, dist_to_target, cluster_size, rep_id, reason)."""
+    members = assignments.join(stats, "id", "inner")
+    members = rank_members(members, cfg, quality_cols=quality_cols)
+
+    # --- per-component pair stats (edges live within components by construction)
+    ecomp = edges.join(
+        assignments.select(F.col("id").alias("id_a"), "component"), "id_a"
+    )
+    comp_pairs = ecomp.groupBy("component").agg(
+        F.min("jaccard").alias("min_jaccard"),
+        F.count("*").alias("n_pairs"),
+    )
+
+    # --- per-member mean distance to other members (outlier score)
+    half = ecomp.select("component", F.col("id_a").alias("id"), "jaccard").unionAll(
+        ecomp.select("component", F.col("id_b").alias("id"), "jaccard")
+    )
+    member_score = half.groupBy("component", "id").agg(
+        (1.0 - F.avg("jaccard")).alias("mean_dist")
+    )
+
+    # robust stats per component: exact median + MAD (distance_matrix.py:45-72)
+    med = member_score.groupBy("component").agg(F.median("mean_dist").alias("med"))
+    mad = (
+        member_score.join(med, "component")
+        .groupBy("component")
+        .agg(F.median(F.abs(F.col("mean_dist") - F.col("med"))).alias("mad"))
+    )
+    evolution_threshold = (1.0 - cfg.strong_threshold) / cfg.z_threshold
+    robust = med.join(mad, "component").withColumn(
+        "cutoff",
+        F.when(F.col("mad") == 0.0, F.col("med") + F.lit(evolution_threshold))
+        .otherwise(F.col("med") + F.lit(cfg.z_threshold) * F.col("mad")),
+    )
+
+    m = (
+        members.join(
+            member_score.select("id", "mean_dist"), "id", "left"
+        )
+        .join(comp_pairs, "component", "left")
+        .join(robust.select("component", "cutoff"), "component", "left")
+    )
+
+    wc = Window.partitionBy("component")
+    m = m.withColumn("cluster_size", F.count("*").over(wc))
+    m = m.withColumn(
+        "is_outlier",
+        F.when(F.col("cutoff").isNotNull(), F.col("mean_dist") > F.col("cutoff"))
+        .otherwise(F.lit(False)),
+    )
+    m = m.withColumn("n_outliers", F.sum(F.col("is_outlier").cast("int")).over(wc))
+    # all-outlier fallback: treat everyone as eligible (sequence_grouping.py:297-300)
+    m = m.withColumn(
+        "eligible",
+        (~F.col("is_outlier")) | (F.col("n_outliers") == F.col("cluster_size")),
+    )
+    # best eligible member per component = min rank among eligible
+    m = m.withColumn(
+        "best_rank",
+        F.min(F.when(F.col("eligible"), F.col("rank"))).over(wc),
+    )
+    m = m.withColumn("is_best", F.col("rank") == F.col("best_rank"))
+    m = m.withColumn(
+        "rep_id", F.min(F.when(F.col("is_best"), F.col("id"))).over(wc)
+    )
+
+    category = (
+        F.when(F.col("cluster_size") == 1, F.lit("SingleSequence"))
+        .when(F.col("min_jaccard") >= F.lit(cfg.strong_threshold), F.lit("BelowThreshold"))
+        .when(F.col("cluster_size") <= F.lit(cfg.clade_size), F.lit("SmallClade"))
+        .when(F.col("n_outliers") > 0, F.lit("OutliersDetected"))
+        .otherwise(F.lit("TrueCoinfection"))
+    )
+    m = m.withColumn("decision_category", category)
+
+    classification = (
+        F.when(F.col("decision_category") == "SingleSequence", F.lit(GOOD))
+        .when(F.col("decision_category") == "TrueCoinfection", F.lit(COINFECTION))
+        .when(
+            (F.col("decision_category") == "OutliersDetected")
+            & F.col("is_outlier")
+            & F.lit(cfg.detach_outliers),
+            F.lit(GOOD),  # web mode: detached, kept as its own document
+        )
+        .when(F.col("is_best"), F.lit(GOOD))
+        .otherwise(F.lit(BAD))
+    )
+    m = m.withColumn("classification", classification)
+
+    reason = F.concat(
+        F.col("decision_category"),
+        F.lit(": size="),
+        F.col("cluster_size").cast("string"),
+        F.coalesce(
+            F.concat(F.lit(", min_jaccard="), F.round("min_jaccard", 4).cast("string")),
+            F.lit(""),
+        ),
+    )
+    return m.select(
+        "id",
+        "component",
+        "classification",
+        "decision_category",
+        "rank",
+        "dist_to_target",
+        "cluster_size",
+        "rep_id",
+        reason.alias("reason"),
+    )

@@ -1,0 +1,114 @@
+"""Distributed connected components: alternating large-star / small-star.
+
+Semantics target: the reference's single-linkage clustering
+(/root/reference/lasvdedup/utils/sequence_grouping.py:89-118) — seed a
+cluster, absorb anything within threshold of ANY member, repeat — is exactly
+connected components of the threshold graph (its tests assert transitive
+closure, tests/utils/test_sequence_grouping.py:247-327).
+
+Algorithm: Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14) — alternate:
+
+  large-star: for each node u, attach every *strictly larger* neighbor to
+              m(u) = min(N(u) ∪ {u});
+  small-star: orient edges to the smaller endpoint; attach u and all its
+              (smaller) neighbors to m(u).
+
+Converges in O(log n) rounds to star graphs rooted at each component's
+minimum id. Works directly on string ids (lexicographic min) — no
+collision-prone id hashing, no GraphFrames dependency.
+
+Driver-side loop with localCheckpoint() per round to truncate lineage
+(otherwise the plan doubles each round and Catalyst analysis time explodes);
+convergence check = (count, xor-ish checksum) fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bid = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    m = bid.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        bid.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    neighbor_links = (
+        oriented.join(m, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    self_links = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return (
+        neighbor_links.unionAll(self_links)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """edges(src, dst) -> assignments(id, component) for every node that
+    appears in an edge; component = min id in the component.
+
+    Callers union in singleton nodes themselves (left join vs node table) —
+    the operator only sees the graph, mirroring how the reference's
+    cluster_sequences receives only the group's sequences.
+    """
+    e = edges.select(
+        F.col(edges.columns[0]).cast("string").alias("src"),
+        F.col(edges.columns[1]).cast("string").alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # At fixpoint every edge points directly at its component root (min id).
+    nodes_as_src = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component")).distinct()
+    return nodes_as_src.unionAll(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
+
+
+def assign_components(
+    all_ids: DataFrame, edges: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """(id, component) for EVERY row in all_ids; nodes without edges become
+    their own singleton component (reference Case 1 SingleSequence feed,
+    sequence_grouping.py:210-221)."""
+    comp = connected_components(edges)
+    ids = all_ids.select(F.col(id_col).cast("string").alias("id")).distinct()
+    return ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )

@@ -1,0 +1,110 @@
+"""MinHash signatures + LSH band-bucket candidate generation + verification.
+
+This replaces the reference's dense n x n distance matrix
+(/root/reference/lasvdedup/utils/distance_matrix.py:10-20) — the O(n^2)
+wall — with near-linear candidate generation: only pairs that collide in
+some LSH band ever exist as rows.
+
+Scale notes (the parts that matter at 10^12 docs):
+  * signatures/bands are narrow projections — the wide html/text columns are
+    pruned before any shuffle (column pruning does this, but we .select()
+    explicitly so a future schema change can't regress it);
+  * the band self-join shuffles on the band key; boilerplate mega-buckets are
+    the skew hazard -> optional max_bucket_size cap (logged, deterministic
+    keep-lowest-hash) + AQE skew-join as backstop;
+  * candidate pairs are deduped with groupBy on (a,b) — one shuffle, map-side
+    combinable — rather than distinct() on the full exploded row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import DedupConfig
+from lasvdedup_spark.functions.hashing import (
+    band_keys_expr,
+    minhash_sig_expr,
+    sig_jaccard_expr,
+)
+from lasvdedup_spark.functions.text import shingles_expr, tokens_expr
+
+
+def signatures(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
+    """(id, sig: array<bigint>) — one row per doc, JVM-side end to end."""
+    return (
+        pages.select(F.col(id_col).alias("id"), "text")
+        .withColumn("tokens", tokens_expr("text"))
+        .withColumn("shingles", shingles_expr(cfg.shingle_k))
+        .select("id", minhash_sig_expr(cfg).alias("sig"))
+    )
+
+
+def band_buckets(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(id, bucket) — one row per (doc, band). bucket is 'band_id:rows_csv'."""
+    return sigs.select(
+        "id", F.explode(band_keys_expr(cfg, "sig")).alias("bucket")
+    )
+
+
+def capped_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Optionally cap bucket size (skew control). Deterministic: keep the
+    max_bucket_size lowest ids per bucket. Dropped rows are *counted* into
+    the returned DataFrame's companion metric (see pipeline.py) — never
+    silently truncated."""
+    if cfg.max_bucket_size is None:
+        return buckets
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("id")
+    return (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cfg.max_bucket_size)
+        .drop("_rn")
+    )
+
+
+def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Distinct unordered candidate pairs (id_a < id_b) from band collisions.
+
+    The a.id < b.id predicate is exactly the reference's i<j pair dedup
+    (distance_matrix.py:38). Dedup-across-bands via groupBy, not distinct():
+    same result, but groupBy(two cols) partial-aggregates map-side.
+    """
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def verified_pairs(
+    pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Attach signature-estimated Jaccard and filter >= threshold (inclusive,
+    matching the reference's <= on distance, sequence_grouping.py:51-53).
+
+    Two hash joins against the narrow sigs table; Catalyst broadcasts when
+    sigs is small, shuffles when not — no hint needed, AQE decides from
+    runtime stats.
+    """
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", sig_jaccard_expr("sig_a", "sig_b"))
+        .where(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
+    """End-to-end: pages -> verified duplicate edges (id_a, id_b, jaccard)."""
+    sigs = signatures(pages, cfg, id_col)
+    bkts = capped_buckets(band_buckets(sigs, cfg), cfg)
+    cand = candidate_pairs(bkts, cfg)
+    return verified_pairs(cand, sigs, cfg)

@@ -1,0 +1,95 @@
+"""SimHash tier — near-identical fast path.
+
+60-bit SimHash (not 64: the portable md5-prefix hash gives 60 non-negative
+bits that fit int64 in both Spark and DuckDB; see functions/hashing.py).
+
+simhash(doc): bit j is 1 iff sum over distinct tokens t of
+  w(t) * (+1 if bit j of h60(t) else -1) > 0,  w = in-doc term frequency.
+
+Entirely JVM-side: explode tokens -> groupBy(id, token) -> 60 conditional
+sums -> bit reassembly. The 60-wide aggregate stays inside whole-stage
+codegen (one shuffle on id).
+
+Pairing uses the pigeonhole banding trick: split 60 bits into 4 x 15-bit
+bands; any pair with hamming distance <= 3 must agree on at least one full
+band, so a 4-way band equi-join finds ALL such pairs — never an n^2 scan.
+(General rule: k+1 bands guarantee recall for hamming <= k.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import DedupConfig
+from lasvdedup_spark.functions.hashing import portable_hash60
+from lasvdedup_spark.functions.text import tokens_expr
+
+SIMHASH_BITS = 60
+N_BANDS = 4          # guarantees recall for hamming <= 3
+BAND_BITS = 15
+
+
+def simhash(pages: DataFrame, id_col: str = "url") -> DataFrame:
+    """(id, simhash: bigint)."""
+    tok = (
+        pages.select(F.col(id_col).alias("id"), tokens_expr("text").alias("tokens"))
+        .select("id", F.explode("tokens").alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", portable_hash60("token"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    reassemble = " + ".join(
+        f"if(b{j} > 0, {1 << j}L, 0L)" for j in range(SIMHASH_BITS)
+    )
+    return agg.select("id", F.expr(reassemble).alias("simhash"))
+
+
+def simhash_bands(sh: DataFrame) -> DataFrame:
+    """(id, simhash, band_id, band_val) — 4 rows per doc."""
+    bands = F.explode(
+        F.expr(
+            f"transform(sequence(0, {N_BANDS - 1}), "
+            f"  i -> struct(i as band_id, "
+            f"       (shiftright(simhash, i * {BAND_BITS}) & {(1 << BAND_BITS) - 1}) as band_val))"
+        )
+    ).alias("band")
+    return sh.select("id", "simhash", bands).select(
+        "id", "simhash", "band.band_id", "band.band_val"
+    )
+
+
+def simhash_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
+    """(id_a, id_b, hamming) for all pairs with hamming <= cfg.simhash_hamming.
+
+    Exact (not approximate) for hamming <= 3 by the banding guarantee.
+    """
+    if cfg.simhash_hamming > N_BANDS - 1:
+        raise ValueError(
+            f"simhash_hamming={cfg.simhash_hamming} exceeds the recall "
+            f"guarantee of {N_BANDS} bands (max {N_BANDS - 1})"
+        )
+    sb = simhash_bands(simhash(pages, id_col))
+    a = sb.alias("a")
+    b = sb.alias("b")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .count()
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,117 @@
+"""SimHash / substring tiers + text extraction invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import DedupConfig
+from lasvdedup_spark.functions.text import extract_text_sql, extract_text_udf
+from lasvdedup_spark.operators.simhash import simhash, simhash_dup_pairs
+from lasvdedup_spark.operators.substring import (
+    lgram_hashes,
+    span_lengths,
+    substring_dup_pairs,
+)
+from lasvdedup_spark.sources.pages import pages_from_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    """The 4-band pigeonhole join must find EXACTLY the pairs brute-force
+    hamming <= 3 finds (banding guarantees recall; the hamming filter
+    guarantees precision)."""
+    cfg = DedupConfig(simhash_hamming=3)
+    texts = [
+        ("a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("b", "the quick brown fox jumps over the lazy dog again and again"),  # exact
+        ("c", "the quick brown fox leaps over the lazy dog again and again"),  # 1 token
+        ("d", "completely different content about spark dataframes and shuffles"),
+        ("e", "another unrelated document mentioning catalyst and tungsten"),
+    ]
+    df = spark.createDataFrame(texts, ["url", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(df, cfg).collect()
+    }
+    sh = simhash(df)
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.expr("bit_count(sh_a ^ sh_b)"))
+        .where(F.col("h") <= cfg.simhash_hamming)
+        .collect()
+    }
+    assert got == brute
+    assert ("a", "b") in got and got[("a", "b")] == 0
+
+
+def test_simhash_deterministic(spark, docs):
+    one = {r["id"]: r["simhash"] for r in simhash(docs.limit(50), "doc_id").collect()}
+    two = {
+        r["id"]: r["simhash"]
+        for r in simhash(docs.limit(50).repartition(7), "doc_id").collect()
+    }
+    assert one == two
+
+
+def test_substring_pairs_iff_shared_lgram(spark):
+    cfg = DedupConfig(substring_min_tokens=4)
+    shared = "alpha beta gamma delta"  # the 4-token shared span
+    df = spark.createDataFrame(
+        [
+            ("a", f"one two {shared} three four"),
+            ("b", f"five six seven {shared} eight"),
+            ("c", "totally disjoint text with nothing in common here"),
+        ],
+        ["url", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in substring_dup_pairs(df, cfg).collect()}
+    assert pairs == {("a", "b")}
+
+
+def test_span_lengths_exact(spark):
+    cfg = DedupConfig(substring_min_tokens=3)
+    df = spark.createDataFrame(
+        [
+            ("a", "x1 x2 alpha beta gamma delta y1 y2"),
+            ("b", "z1 alpha beta gamma delta z2 z3 z4"),
+        ],
+        ["url", "text"],
+    )
+    pairs = substring_dup_pairs(df, cfg)
+    got = span_lengths(df, pairs).collect()
+    assert len(got) == 1
+    assert got[0]["span_len"] == 4  # alpha beta gamma delta
+
+
+def test_extract_text_byte_identical(spark, docs):
+    """BASELINE.json per-row invariant: extract_text(html) == text,
+    byte-identical per url, via BOTH the Arrow UDF and the SQL twin."""
+    pages = pages_from_documents(docs)
+    ext = pages.select(
+        "url",
+        "text",
+        extract_text_udf()(F.col("html")).alias("via_udf"),
+        extract_text_sql("html").alias("via_sql"),
+    )
+    bad = ext.where(
+        (F.col("via_udf") != F.col("text")) | (F.col("via_sql") != F.col("text"))
+    ).count()
+    assert bad == 0
+    assert ext.count() == docs.count()
+
+
+def test_lgram_sampling_subset(spark, docs):
+    cfg = DedupConfig()
+    full = lgram_hashes(docs.limit(100), cfg, "doc_id", sample_mod=1)
+    samp = lgram_hashes(docs.limit(100), cfg, "doc_id", sample_mod=4)
+    n_full, n_samp = full.count(), samp.count()
+    assert 0 < n_samp < n_full
+    # sampled grams are a subset of full grams
+    assert samp.exceptAll(full).count() == 0
