@@ -54,12 +54,20 @@ class StageRunner:
             os.path.join(self._path(stage), "_SUCCESS")
         )
 
-    def stage(self, name: str, fn: Callable[[], DataFrame]) -> DataFrame:
+    def stage(
+        self, name: str, fn: Callable[[], DataFrame], heavy: bool = False
+    ) -> DataFrame:
         """Run-or-resume one stage. Without a checkpoint_dir this is a
-        pass-through (pure lazy DataFrame composition)."""
+        pass-through (pure lazy DataFrame composition) — except heavy=True
+        stages, which get a lazy localCheckpoint: they are consumed by
+        several downstream subtrees (components AND classification both read
+        edges), and without truncation every downstream action re-executes
+        the whole signature/band/join pipeline once per reference."""
         t0 = time.time()
         if self.root is None:
             df = fn()
+            if heavy:
+                df = df.localCheckpoint(eager=False)
             self.metrics.append({"stage": name, "skipped": False, "seconds": 0.0, "rows": -1})
             return df
         if self._done(name):
@@ -154,10 +162,13 @@ def dedup(
     edges = r.stage(
         "edges",
         lambda: all_edges.groupBy("id_a", "id_b").agg(F.max("jaccard").alias("jaccard")),
+        heavy=True,
     )
 
     assignments = r.stage(
-        "components", lambda: components.assign_components(narrow, edges)
+        "components",
+        lambda: components.assign_components(narrow, edges),
+        heavy=True,
     )
 
     stats = narrow.select(F.col("url").alias("id"), "n_chars")
