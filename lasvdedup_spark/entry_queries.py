@@ -696,6 +696,136 @@ qualify pos <= 3
 """
 
 
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (bucket-join candidates, cosine >= t);
+    the vector analog of dup_pairs_verified."""
+    from lasvdedup_spark.operators.ann import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(spark, sf_dir), _planes(), threshold=0.3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
+def O_EMBEDDING_COSINE_PAIRS() -> str:
+    planes = _planes()
+    terms = []
+    for p, row in enumerate(planes):
+        dot = " + ".join(
+            f"({s}) * embedding[{d + 1}]::DOUBLE" for d, s in enumerate(row)
+        )
+        terms.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
+    bucket = f"({' + '.join(terms)})::BIGINT"
+    return f"""
+with b as (select vec_id as id, embedding as vec, {bucket} as bucket from embeddings),
+cand as (
+  select a.id as id_a, a.vec as va, t.id as id_b, t.vec as vb
+  from b a join b t using (bucket)
+  where a.id < t.id),
+scored as (
+  select id_a, id_b,
+         ({_dk_dot('va', 'vb')}) /
+         (sqrt({_dk_dot('va', 'va')}) * sqrt({_dk_dot('vb', 'vb')})) as cosine
+  from cand)
+select distinct id_a, id_b, round(cosine, 6) as cosine
+from scored where cosine >= 0.3
+"""
+
+
+def q_ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (shingle-set) Jaccard over LSH candidate pairs — the
+    'n-gram Jaccard dedup' tier: candidates come from MinHash banding, but
+    the verdict uses TRUE set Jaccard on the shingles, not the signature
+    estimate (array_intersect built-ins, no UDF)."""
+    from lasvdedup_spark.operators.minhash import band_buckets, candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.withColumn("tokens", tokens_expr("text"))
+        .select("doc_id", shingles_expr(CFG.shingle_k).alias("sh"))
+    )
+    cand = candidate_pairs(band_buckets(_doc_sigs(spark, sf_dir), CFG), CFG)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("j", inter / union)
+        .where(F.col("j") >= F.lit(CFG.jaccard_threshold))
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("j", 6).alias("jaccard_exact"),
+        )
+    )
+
+
+O_NGRAM_JACCARD_VERIFIED = f"""
+with {_DK_BANDS_CTE},
+cand as (
+  select a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b using (bucket)
+  where a.doc_id < b.doc_id
+  group by 1, 2),
+j0 as (
+  select c.id_a, c.id_b,
+         len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))::DOUBLE as inter,
+         len(sa.shingles)::DOUBLE as la, len(sb.shingles)::DOUBLE as lb
+  from cand c
+  join shing sa on sa.doc_id = c.id_a
+  join shing sb on sb.doc_id = c.id_b)
+select id_a, id_b, round(inter / (la + lb - inter), 6) as jaccard_exact
+from j0 where inter / (la + lb - inter) >= {CFG.jaccard_threshold}
+"""
+
+
+_MAGICS = "'<htm','PNG0','RIFF','FTYP'"
+_CTYPES = {
+    "<htm": "text/html",
+    "PNG0": "image/png",
+    "RIFF": "audio/wav",
+    "FTYP": "video/mp4",
+}
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata + magic-byte content sniffing (multimodal
+    column plumbing, operators/multimodal.py): a deterministic blob per doc
+    (magic prefix by doc_id mod 4 + payload), JVM-side sniff."""
+    from lasvdedup_spark.operators.multimodal import binary_meta
+
+    magic = F.expr(
+        f"element_at(array({_MAGICS}), cast(pmod(doc_id, 4) as int) + 1)"
+    )
+    d = _docs(spark, sf_dir).withColumn(
+        "blob", F.encode(F.concat(magic, F.col("text")), "UTF-8")
+    )
+    return binary_meta(d, bin_col="blob", id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bytes",
+        "head_hex",
+        "content_type",
+    )
+
+
+O_BINARY_META = f"""
+with b as (
+  select doc_id,
+         [{_MAGICS}][(doc_id % 4)::INT + 1] as magic,
+         text
+  from documents)
+select doc_id,
+       octet_length(encode(magic || text)) as n_bytes,
+       hex(substr(magic || text, 1, 4)::BLOB) as head_hex,
+       case magic {' '.join(f"when '{m}' then '{t}'" for m, t in _CTYPES.items())}
+            else 'application/octet-stream' end as content_type
+from b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -724,6 +854,9 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_buckets": q_ann_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "ngram_jaccard_verified": q_ngram_jaccard_verified,
+    "binary_meta": q_binary_meta,
 }
 
 ORACLES = {
@@ -750,4 +883,7 @@ ORACLES = {
     "knn_bruteforce": O_KNN_BRUTEFORCE(),
     "ann_buckets": O_ANN_BUCKETS(),
     "ann_lsh_topk": O_ANN_LSH_TOPK(),
+    "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS(),
+    "ngram_jaccard_verified": O_NGRAM_JACCARD_VERIFIED,
+    "binary_meta": O_BINARY_META,
 }

@@ -95,6 +95,33 @@ def ann_buckets(vectors: DataFrame, planes: list[list[int]],
     )
 
 
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    planes: list[list[int]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: unordered pairs that collide
+    in a hyperplane bucket AND score cosine >= threshold (inclusive, same
+    convention as the text tiers). The embedding analog of
+    minhash_dup_pairs — these edges can feed the same connected-components
+    + classification stages. -> (id_a, id_b, cosine)."""
+    b = ann_buckets(vectors, planes, id_col, vec_col)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    withv = b.join(v, "id")
+    a = withv.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    t = withv.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    return (
+        a.join(t, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("vec_a", "vec_b"))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()  # a pair may collide in several salted variants upstream
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     planes: list[list[int]],
