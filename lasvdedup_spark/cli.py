@@ -1,0 +1,96 @@
+"""CLI — the spark-submit entry point.
+
+Mirrors the reference's cli → api layering (/root/reference/lasvdedup/cli.py:
+13-100 parse_args, :102-112 main delegating to the library): the CLI is a
+thin argparse wrapper over ``lasvdedup_spark.pipeline.dedup``; every option
+maps onto a DedupConfig field with the same precedence (defaults < YAML <
+explicit flags, config.py:from_yaml).
+
+Cluster launch shape (north rule):
+
+    spark-submit --py-files lasvdedup_spark.zip -m lasvdedup_spark.cli \\
+        --input ...pages_parquet_or_table --output ...dir \\
+        --config conf.yaml --checkpoint-dir ...ckpt
+
+In-sandbox the same main() runs on local[N] via --master.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from lasvdedup_spark.config import DedupConfig
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="lasvdedup-spark",
+        description="PySpark-native near-duplicate detection + clustering",
+    )
+    p.add_argument("--input", required=True, help="pages parquet path (url, warc_ts, html, text, lang)")
+    p.add_argument("--output", required=True, help="output dir for classifications parquet")
+    p.add_argument("--config", default=None, help="YAML config (keys = DedupConfig fields)")
+    p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint root (resume support)")
+    p.add_argument(
+        "--tiers", default="minhash",
+        help="comma list from {exact,minhash,simhash,substring}",
+    )
+    p.add_argument("--jaccard-threshold", type=float, default=None)
+    p.add_argument("--target-length", type=int, default=None)
+    p.add_argument("--master", default=None, help="override spark master (default: from environment)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def build_config(args: argparse.Namespace) -> DedupConfig:
+    """defaults < YAML < CLI flags — reference precedence
+    (config_setup.py:117-201)."""
+    overrides = {}
+    if args.checkpoint_dir:
+        overrides["checkpoint_dir"] = args.checkpoint_dir
+    if args.jaccard_threshold is not None:
+        overrides["jaccard_threshold"] = args.jaccard_threshold
+    if args.target_length is not None:
+        overrides["target_length"] = args.target_length
+    if args.shuffle_partitions is not None:
+        overrides["shuffle_partitions"] = args.shuffle_partitions
+    if args.config:
+        return DedupConfig.from_yaml(args.config, **overrides)
+    return DedupConfig(**overrides)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    cfg = build_config(args)
+    tiers = tuple(t.strip() for t in args.tiers.split(",") if t.strip())
+
+    from lasvdedup_spark.pipeline import dedup
+    from lasvdedup_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="lasvdedup_spark",
+        master=args.master,
+        shuffle_partitions=cfg.shuffle_partitions,
+    )
+    t0 = time.time()
+    pages = spark.read.parquet(args.input)
+    out = dedup(spark, pages, cfg, tiers=tiers)
+    out.orderBy("url").write.mode("overwrite").parquet(args.output)
+
+    n = spark.read.parquet(args.output).count()
+    summary = {
+        "n_classified": n,
+        "seconds": round(time.time() - t0, 3),
+        "output": args.output,
+        "tiers": list(tiers),
+        "fingerprint": cfg.fingerprint(),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

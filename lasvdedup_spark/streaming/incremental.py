@@ -1,0 +1,155 @@
+"""Incremental (streaming) near-duplicate detection.
+
+The reference is strictly batch (SURVEY §2.10) — this module is the
+forward-looking extension the LSH design makes cheap: because candidate
+generation is an equi-join on band buckets, a *stream* of new pages can be
+deduplicated against everything already indexed without ever recomputing
+old signatures:
+
+    new micro-batch ──► signatures ──► band keys ──► join vs persisted
+    band index  +  self-join within the batch ──► verified pairs (append)
+    └──────────────► new band rows appended to the index
+
+Pattern: ``readStream`` → same JVM-side signature/band expressions as batch
+(they are pure Column expressions, legal on streaming DataFrames) →
+``foreachBatch`` for the parts streaming can't express declaratively (the
+self-join against the growing index and the index append). Exactly-once:
+foreachBatch epochs are idempotent via batch_id-suffixed output dirs +
+Spark's checkpointLocation tracking of committed epochs.
+
+At scale the index is an Iceberg table bucketed by band key so the
+stream-side join prunes to matching buckets; here it is parquet
+partitioned the same way (one IO seam, mirroring pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import DedupConfig
+from lasvdedup_spark.functions.hashing import sig_jaccard_expr
+from lasvdedup_spark.operators.minhash import signatures
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def sig_bands(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
+    """(id, sig, bucket) — streaming-safe: pure expressions (projection +
+    explode), no aggregate or join, so it composes onto readStream as-is."""
+    from lasvdedup_spark.functions.hashing import band_keys_expr
+
+    sigs = signatures(pages, cfg, id_col)
+    return sigs.select(
+        "id", "sig", F.explode(band_keys_expr(cfg, "sig")).alias("bucket")
+    )
+
+
+def _verify(pairs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    return (
+        pairs.withColumn("jaccard", sig_jaccard_expr("sig_a", "sig_b"))
+        .where(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+    )
+
+
+def incremental_dedup_query(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    cfg: DedupConfig,
+    trigger_available_now: bool = True,
+):
+    """Start the incremental dedup stream over a file source of pages.
+
+    Layout under work_dir:
+      index/   — persisted (id, sig, bucket) band rows of everything seen
+      pairs/   — appended verified duplicate pairs (id_a < id_b, jaccard)
+      _chk/    — streaming checkpoint (restart-safe)
+
+    Returns the StreamingQuery. Caller awaits termination (availableNow
+    drains all pending files, then stops — the batch-job-over-a-stream mode).
+    """
+    index_dir = os.path.join(work_dir, "index")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    chk_dir = os.path.join(work_dir, "_chk")
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file drop
+        .parquet(input_dir)
+        .select("url", "text")
+    )
+    batch_bands_stream = sig_bands(stream, cfg)
+
+    def process_batch(batch_bands: DataFrame, batch_id: int) -> None:
+        s = batch_bands.sparkSession
+        batch_bands = batch_bands.localCheckpoint(eager=True)
+
+        new = batch_bands.select(
+            F.col("id").alias("id_new"), F.col("sig").alias("sig_new"), "bucket"
+        )
+        # 1) new-vs-new within the batch (i<j dedup as usual)
+        a = new.select(F.col("id_new").alias("id_a"), F.col("sig_new").alias("sig_a"), "bucket")
+        b = new.select(F.col("id_new").alias("id_b"), F.col("sig_new").alias("sig_b"), "bucket")
+        within = (
+            a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+        )
+        # 2) new-vs-index (earlier epochs' bands)
+        pairs = within
+        index_has_data = os.path.isdir(index_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(index_dir)
+        )
+        if index_has_data:
+            old = s.read.parquet(index_dir).select(
+                F.col("id").alias("id_old"), F.col("sig").alias("sig_old"), "bucket"
+            )
+            cross = (
+                new.join(old, "bucket")
+                .where(F.col("id_new") != F.col("id_old"))
+                .select(
+                    F.least("id_new", "id_old").alias("id_a"),
+                    F.greatest("id_new", "id_old").alias("id_b"),
+                    F.when(F.col("id_new") < F.col("id_old"), F.col("sig_new"))
+                    .otherwise(F.col("sig_old")).alias("sig_a"),
+                    F.when(F.col("id_new") < F.col("id_old"), F.col("sig_old"))
+                    .otherwise(F.col("sig_new")).alias("sig_b"),
+                )
+            )
+            pairs = pairs.unionByName(cross)
+
+        verified = _verify(pairs, cfg)
+        # idempotent per-epoch outputs: overwrite the batch's own subdir, so
+        # an epoch replay after a crash never duplicates rows
+        verified.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={batch_id}")
+        )
+        batch_bands.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+
+    writer = (
+        batch_bands_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", chk_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pairs(spark: SparkSession, work_dir: str) -> DataFrame:
+    """All verified pairs found so far (batch view over the stream output)."""
+    return (
+        spark.read.option("basePath", os.path.join(work_dir, "pairs"))
+        .parquet(os.path.join(work_dir, "pairs"))
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+    )

@@ -1,0 +1,54 @@
+"""CLI layering (cli.py): argparse -> DedupConfig precedence -> dedup ->
+parquet out, mirroring the reference's cli -> determine_duplicates wiring
+(/root/reference/lasvdedup/cli.py:102-120)."""
+
+import json
+import os
+
+import pytest
+
+from lasvdedup_spark.cli import build_config, main, parse_args
+from lasvdedup_spark.config import DedupConfig
+
+
+def test_config_precedence(tmp_path):
+    yml = tmp_path / "conf.yaml"
+    yml.write_text("jaccard_threshold: 0.7\ntarget_length: 500\n")
+    # YAML beats defaults
+    a = parse_args(["--input", "i", "--output", "o", "--config", str(yml)])
+    cfg = build_config(a)
+    assert cfg.jaccard_threshold == 0.7 and cfg.target_length == 500
+    # explicit flag beats YAML
+    a = parse_args(
+        ["--input", "i", "--output", "o", "--config", str(yml),
+         "--jaccard-threshold", "0.6"]
+    )
+    cfg = build_config(a)
+    assert cfg.jaccard_threshold == 0.6 and cfg.target_length == 500
+
+
+def test_unknown_yaml_key_fails_fast(tmp_path):
+    yml = tmp_path / "bad.yaml"
+    yml.write_text("not_a_field: 1\n")
+    a = parse_args(["--input", "i", "--output", "o", "--config", str(yml)])
+    with pytest.raises(ValueError, match="unknown config keys"):
+        build_config(a)
+
+
+def test_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
+    from lasvdedup_spark.sources.pages import synth_pages_with_dups
+
+    pages, _ = synth_pages_with_dups(spark, sf_dir)
+    inp = str(tmp_path / "pages")
+    outp = str(tmp_path / "out")
+    pages.write.parquet(inp)
+
+    rc = main(["--input", inp, "--output", outp])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_classified"] == pages.count()
+    assert summary["tiers"] == ["minhash"]
+
+    out = spark.read.parquet(outp)
+    assert out.count() == pages.count()
+    assert {"url", "component", "classification", "decision_category"} <= set(out.columns)

@@ -1,0 +1,108 @@
+"""Physical-plan regression tests — the 100-TB guardrails.
+
+Correctness tests can't catch a plan that silently degrades (a lost
+broadcast, a Python eval node creeping into the hot path, column pruning
+regressing to full-width scans). These assertions pin the *shape* of the
+plans the engine relies on at scale (SURVEY §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import DedupConfig
+from lasvdedup_spark.operators.minhash import (
+    band_buckets,
+    candidate_pairs,
+    signatures,
+    verified_pairs,
+)
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _plan(df, execute: bool = False) -> str:
+    """Physical plan string. execute=True runs the query first so AQE
+    finalizes the plan (codegen spans only appear in the final plan)."""
+    if execute:
+        df.collect()  # finalizes THIS df's AQE plan (count() builds its own)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-adaptive "Initial Plan" — keep final only
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_hot_path_has_no_python_eval(docs):
+    """Signatures -> bands -> candidates -> verify must stay JVM-side:
+    no BatchEvalPython / ArrowEvalPython anywhere (UDFs are the slow path;
+    the whole MinHash kernel is codegen'd higher-order functions)."""
+    sigs = signatures(docs, CFG, id_col="doc_id")
+    pairs = verified_pairs(candidate_pairs(band_buckets(sigs, CFG), CFG), sigs, CFG)
+    plan = _plan(pairs, execute=True)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "*(" in plan  # whole-stage-codegen spans render as *(N) in Spark 4
+    assert "isFinalPlan=true" in plan
+
+
+def test_column_pruning_reaches_scan(docs, spark, sf_dir):
+    """A 2-column projection must scan 2 columns, not the table width —
+    never read text/html in stages that don't need them."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    fmt = _formatted(df)
+    scan_schema = [l for l in fmt.splitlines() if "ReadSchema" in l]
+    assert scan_schema, fmt
+    assert "text" not in scan_schema[0], scan_schema[0]
+    assert "doc_id" in scan_schema[0] and "lang" in scan_schema[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("lang") == "en")
+    fmt = _formatted(df)
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l]
+    assert pushed and "IsNotNull(lang)" in pushed[0], pushed
+    assert "EqualTo(lang,en)" in pushed[0], pushed[0]
+
+
+def test_small_dim_join_broadcasts(docs):
+    """Member-stats joins against small aggregated dimensions must broadcast
+    (reference's dict-lookup join, sequence_grouping.py:55-78) — AQE or the
+    explicit hint, either way no shuffle of the big side."""
+    stats = docs.groupBy("source").agg(F.avg("n_chars").alias("a"))
+    joined = docs.join(F.broadcast(stats), "source")
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_band_join_is_shuffle_hash_or_sortmerge_on_bucket(docs):
+    """The LSH self-join keys on the band bucket — the one big shuffle the
+    design allows. Assert the join key is the bucket, not a cross product."""
+    sigs = signatures(docs, CFG, id_col="doc_id")
+    cand = candidate_pairs(band_buckets(sigs, CFG), CFG)
+    plan = _plan(cand)
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_exact_dedup_is_one_shuffle_narrow_scan(docs):
+    """Exact dedup = ONE exchange on the content hash (window over hash
+    partitions), scanning only (id, text) — never the full row width."""
+    from lasvdedup_spark.operators.exact import exact_dup_clusters
+
+    df = exact_dup_clusters(docs, id_col="doc_id")
+    plan = _plan(df, execute=True)
+    assert plan.count("Exchange hashpartitioning(content_hash") == 1
+    fmt = _formatted(df)
+    scan = [l for l in fmt.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in scan and "text" in scan and "source" not in scan
