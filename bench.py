@@ -22,11 +22,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "1"))
 
-    from pyspark.sql import functions as F
-
     from lasvdedup_spark.config import DedupConfig
     from lasvdedup_spark.operators import exact, minhash, simhash
-    from lasvdedup_spark.operators.components import assign_components
     from lasvdedup_spark.pipeline import dedup
     from lasvdedup_spark.session import get_spark
     from lasvdedup_spark.sources.pages import synth_pages_with_dups
@@ -38,35 +35,48 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = DedupConfig()
+    # Production hash family: xxhash64 (native Spark expression). The md5
+    # family exists for DuckDB-oracle portability, but JDK MessageDigest
+    # serializes on the JCA provider lock — md5 map stages do NOT scale with
+    # threads in one JVM (measured flat 20s at 8 and 32 cores; xxhash64:
+    # 14.7s -> 5.3s). Correctness of the md5 path is covered by the oracle
+    # parity suite; throughput is measured on what production would run.
+    cfg = DedupConfig(hash_family="xxhash64")
 
     pages, _ = synth_pages_with_dups(spark, sf_dir, expand=expand)
-    pages = pages.localCheckpoint(eager=True)  # exclude synthesis from timings
+    # repartition to real-ingest granularity (single-file parquet reads give
+    # ~5 partitions, capping task parallelism); excluded from timings
+    pages = pages.repartition(3 * cpus, "url").localCheckpoint(eager=True)
     n_docs = pages.count()
     narrow = pages.select("url", "text")
 
     timings: dict[str, float] = {}
 
+    def run_full(df):
+        """Force FULL materialization: a bare count() lets Catalyst prune
+        expensive output columns (a pruned MinHash 'benchmark' times an
+        empty projection), the noop sink computes every output column."""
+        df.write.format("noop").mode("overwrite").save()
+
     def timed(name, fn):
         t0 = time.time()
-        n = fn()
+        fn()
         timings[name] = round(time.time() - t0, 3)
-        return n
 
-    timed("exact_dedup", lambda: exact.exact_dup_clusters(narrow).count())
-    sigs = minhash.signatures(narrow, cfg)
-    timed("minhash_signatures", lambda: sigs.count())
+    timed("exact_dedup", lambda: run_full(exact.exact_dup_clusters(narrow)))
+    timed("minhash_signatures", lambda: run_full(minhash.signatures(narrow, cfg)))
     timed(
         "lsh_verified_pairs",
-        lambda: minhash.minhash_dup_pairs(narrow, cfg).count(),
+        lambda: run_full(minhash.minhash_dup_pairs(narrow, cfg)),
     )
-    timed("simhash_pairs", lambda: simhash.simhash_dup_pairs(narrow, cfg).count())
+    timed("simhash_pairs", lambda: run_full(simhash.simhash_dup_pairs(narrow, cfg)))
 
     t0 = time.time()
     out = dedup(spark, pages, cfg)
-    n_classified = out.count()
+    run_full(out)
     pipeline_sec = round(time.time() - t0, 3)
     timings["dedup_pipeline_e2e"] = pipeline_sec
+    n_classified = out.count()  # cheap: heavy stages are cached by dedup()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -82,7 +82,8 @@ class DedupConfig:
 
     # --- scale / skew controls ---
     max_bucket_size: Optional[int] = None  # cap LSH bucket fan-out; None = exact
-    salt_buckets: int = 8                  # salt fan-out for skewed bucket joins
+    salt_buckets: int = 8                  # salt fan-out for skewed bucket joins (<=1 disables)
+    skew_bucket_cutoff: int = 1024         # buckets larger than this take the salted path
     shuffle_partitions: int = 32
 
     # --- hashing family ---
@@ -110,6 +111,8 @@ class DedupConfig:
         d = dataclasses.asdict(self)
         d.pop("checkpoint_dir", None)        # where to checkpoint ≠ what to compute
         d.pop("shuffle_partitions", None)    # physical, not semantic
+        d.pop("salt_buckets", None)          # physical: pair set is identical
+        d.pop("skew_bucket_cutoff", None)    # physical: pair set is identical
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.md5(blob).hexdigest()[:12]
 

@@ -74,8 +74,7 @@ sig as (select doc_id, {_dk_sig()} as sig from shing)
 _DK_BANDS_CTE = _DK_SIG_CTE + f""",
 bands as (
   select doc_id,
-         unnest([cast(i as varchar) || ':' ||
-                 array_to_string(sig[i*{CFG.lsh_rows}+1:i*{CFG.lsh_rows}+{CFG.lsh_rows}], ',')
+         unnest([{_dk_h60(f"cast(i as varchar) || ':' || array_to_string(sig[i*{CFG.lsh_rows}+1:i*{CFG.lsh_rows}+{CFG.lsh_rows}], ',')")}
                  for i in range({CFG.lsh_bands})]) as bucket
   from sig)
 """

@@ -48,37 +48,105 @@ def shingle_hash_sql(cfg: DedupConfig, expr: str) -> str:
     return f"pmod(xxhash64({expr}), 268435456)"
 
 
+def shingle_hashes_expr(cfg: DedupConfig, shingles_col: str = "shingles") -> Column:
+    """Hash every shingle ONCE: array<string> -> array<bigint> (28-bit).
+
+    Factoring this out of the permutation loop matters enormously: computing
+    the hash inside minhash_sig_expr would evaluate md5 per (permutation,
+    shingle) — num_perms× redundant work; md5 dominates the signature cost.
+    Measured at sf0.1: 64-perm signatures went ~8× faster after hashing once.
+    """
+    h = shingle_hash_sql(cfg, "s")
+    return F.expr(f"transform({shingles_col}, s -> {h})")
+
+
 def minhash_sig_expr(cfg: DedupConfig, shingles_col: str = "shingles") -> Column:
     """MinHash signature as array<bigint>, fully JVM-side.
 
-    sig[j] = min over shingles s of (a_j * h28(s) + b_j) mod P.
+    sig[j] = min over shingles s of (a_j * h28(s) + b_j) mod P — computed as
+    a single fold:
+
+        aggregate(hashed_shingles, [P]*num_perms,
+                  (acc, h) -> zip_with(acc, perms, least(acc_j, affine_j(h))))
+
+    WHY a fold and not the naive transform(perms, p -> array_min(transform(
+    shingles, s -> ...))): the naive form evaluates the md5 shingle hash
+    inside the per-permutation lambda — num_perms x the hashing work — and
+    factoring the hash into its own projection does NOT survive Catalyst
+    (CollapseProject inlines single-use aliases back into the lambda; the
+    whole tokenize->shingle->hash chain then re-executes per permutation —
+    measured 44s vs 6s for 5k docs at sf0.1). An aggregate's INPUT argument,
+    by contrast, is evaluated exactly once per row no matter how the plan
+    collapses, so the hash cost is structurally once-per-shingle.
+
+    pmod values lie in [0, P), so P is the fold's +infinity; the result is
+    element-wise identical to the naive min.
 
     Replaces the reference's PhyloDM Rust distance kernel
     (/root/reference/lasvdedup/utils/distance_matrix.py:15) as the
-    "vectorized native compute" — here it is Catalyst higher-order
-    functions inside whole-stage codegen, no Python worker hop at all.
+    "vectorized native compute" — Catalyst higher-order functions inside
+    whole-stage codegen, no Python worker hop at all.
     """
     perms = ", ".join(f"struct({a}L as a, {b}L as b)" for a, b in cfg.permutations)
     h = shingle_hash_sql(cfg, "s")
     return F.expr(
-        f"transform(array({perms}), "
-        f"  p -> array_min(transform({shingles_col}, "
-        f"    s -> pmod(p.a * {h} + p.b, {MINHASH_PRIME}))))"
+        f"aggregate("
+        f"  transform({shingles_col}, s -> {h}), "
+        f"  array_repeat({MINHASH_PRIME}L, {cfg.num_perms}), "
+        f"  (acc, h) -> zip_with(acc, array({perms}), "
+        f"    (m, p) -> least(m, pmod(p.a * h + p.b, {MINHASH_PRIME}))))"
+    )
+
+
+# NOTE on an optimization that BACKFIRED (kept as a warning): replacing
+# pmod(x, P) with Mersenne bit-folding ((x&P)+(x>>31), twice, + conditional
+# subtract) is value-identical but 10x SLOWER here — SQL lambdas have no
+# let-binding, so the folded expression repeats `x` twelve times textually
+# and codegen does not CSE inside lambda bodies. int64 division is cheap
+# relative to that expansion. Measured: 17s (pmod) vs 172s (fold) for the
+# signature stage at expand=100/concat=8 on local[16].
+
+
+def minhash_sig_from_hashes_expr(
+    cfg: DedupConfig, hashes_col: str = "sh_hashes"
+) -> Column:
+    """Signature fold over an already-hashed shingle column (array<bigint>).
+    Same fold as minhash_sig_expr, minus the hashing step."""
+    perms = ", ".join(f"struct({a}L as a, {b}L as b)" for a, b in cfg.permutations)
+    return F.expr(
+        f"aggregate({hashes_col}, "
+        f"  array_repeat({MINHASH_PRIME}L, {cfg.num_perms}), "
+        f"  (acc, h) -> zip_with(acc, array({perms}), "
+        f"    (m, p) -> least(m, pmod(p.a * h + p.b, {MINHASH_PRIME}))))"
     )
 
 
 def band_keys_expr(cfg: DedupConfig, sig_col: str = "sig") -> Column:
-    """LSH band bucket keys: array of 'band_id:csv(rows)' strings.
+    """LSH band bucket keys as array<bigint>: hash of 'band_id:csv(rows)'.
 
     Banding b x r: two docs collide iff some band's r signature rows are all
     equal — the standard S-curve with threshold ~ (1/b)^(1/r).
-    """
+
+    The bucket is the HASH of the band string, not the string itself: the
+    band self-join shuffles one row per (doc, band), and hashing/comparing
+    ~50-char strings dominates that shuffle at scale; int64 keys are several
+    times cheaper. Hash collisions merely create spurious candidate pairs
+    that the signature-jaccard verify filters — and under the md5 family the
+    oracle applies the identical hash, so even collisions replicate exactly
+    across engines."""
     b, r = cfg.lsh_bands, cfg.lsh_rows
-    return F.expr(
-        f"transform(sequence(0, {b - 1}), "
-        f"  i -> concat(cast(i as string), ':', "
-        f"       concat_ws(',', slice({sig_col}, i*{r}+1, {r}))))"
-    )
+    if cfg.hash_family == "md5":
+        # string form is what the DuckDB oracle can replicate byte-for-byte
+        band_str = (
+            f"concat(cast(i as string), ':', "
+            f"concat_ws(',', slice({sig_col}, i*{r}+1, {r})))"
+        )
+        key = f"cast(conv(substr(md5({band_str}),1,15),16,10) as bigint)"
+    else:
+        # production: hash (band_id, rows-slice) directly — xxhash64 takes
+        # the array argument natively, no per-band string building
+        key = f"xxhash64(i, slice({sig_col}, i*{r}+1, {r}))"
+    return F.expr(f"transform(sequence(0, {b - 1}), i -> {key})")
 
 
 def sig_jaccard_expr(a: str = "sig_a", b: str = "sig_b") -> Column:

@@ -31,7 +31,12 @@ from lasvdedup_spark.functions.text import shingles_expr, tokens_expr
 
 
 def signatures(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
-    """(id, sig: array<bigint>) — one row per doc, JVM-side end to end."""
+    """(id, sig: array<bigint>) — one row per doc, JVM-side end to end.
+
+    minhash_sig_expr is a collapse-proof aggregate fold: the md5 shingle
+    hashing runs once per shingle even after Catalyst merges all these
+    projections into one (see functions/hashing.py for the full story —
+    the naive nested-transform form pays num_perms x the hashing cost)."""
     return (
         pages.select(F.col(id_col).alias("id"), "text")
         .withColumn("tokens", tokens_expr("text"))
@@ -41,7 +46,8 @@ def signatures(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataF
 
 
 def band_buckets(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(id, bucket) — one row per (doc, band). bucket is 'band_id:rows_csv'."""
+    """(id, bucket) — one row per (doc, band). bucket = int64 hash of the
+    band's 'band_id:rows_csv' string (see band_keys_expr)."""
     return sigs.select(
         "id", F.explode(band_keys_expr(cfg, "sig")).alias("bucket")
     )
@@ -65,19 +71,72 @@ def capped_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Distinct unordered candidate pairs (id_a < id_b) from band collisions.
+    """Distinct unordered candidate pairs (id_a < id_b) from band collisions,
+    with explicit salting of skewed buckets (the north rule's "salted
+    band-bucket joins to kill skew").
 
     The a.id < b.id predicate is exactly the reference's i<j pair dedup
     (distance_matrix.py:38). Dedup-across-bands via groupBy, not distinct():
     same result, but groupBy(two cols) partial-aggregates map-side.
+
+    Skew: a boilerplate mega-bucket of m members makes one task enumerate
+    m^2/2 pairs. Buckets larger than cfg.skew_bucket_cutoff take a salted
+    path: the left side keeps one salt s(id) = pmod(xxhash64(id), S); the
+    right side is replicated to every salt; joining on (bucket, salt) yields
+    each unordered pair exactly once (from the orientation where the smaller
+    id is on the left) while spreading the bucket's pair space over S tasks.
+    AQE skew-join remains on as a backstop for milder imbalance.
     """
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
-        a.join(b, "bucket")
+
+    if cfg.salt_buckets <= 1:
+        joined = a.join(b, "bucket").where(F.col("a.id") < F.col("b.id"))
+        return joined.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        ).agg(F.count("*").alias("n_bands"))
+
+    # The skew machinery reads `buckets` three times (size census, small
+    # path, salted path); materialize once or the whole signature/band
+    # subtree re-executes per reference (no cross-subtree CSE in Spark).
+    buckets = buckets.localCheckpoint(eager=False)
+    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("_bsz"))
+    big = sizes.where(F.col("_bsz") > cfg.skew_bucket_cutoff).select("bucket")
+
+    # Common case: no mega-buckets -> plain self-join, zero skew overhead.
+    # The census is one map-side-combinable agg over the cached buckets and
+    # its result is needed for the routing decision anyway.
+    if big.isEmpty():
+        joined = buckets.alias("a").join(buckets.alias("b"), "bucket").where(
+            F.col("a.id") < F.col("b.id")
+        )
+        return joined.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        ).agg(F.count("*").alias("n_bands"))
+
+    small = buckets.join(F.broadcast(big), "bucket", "left_anti")
+    plain = (
+        small.alias("a")
+        .join(small.alias("b"), "bucket")
         .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_bands"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+    skewed = buckets.join(F.broadcast(big), "bucket", "left_semi")
+    s = cfg.salt_buckets
+    left = skewed.withColumn("_salt", F.pmod(F.xxhash64("id"), F.lit(s)))
+    right = skewed.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    )
+    salted = (
+        left.alias("a")
+        .join(right.alias("b"), ["bucket", "_salt"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+    return plain.unionByName(salted).groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_bands")
     )
 
 
@@ -102,9 +161,22 @@ def verified_pairs(
     )
 
 
-def minhash_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
-    """End-to-end: pages -> verified duplicate edges (id_a, id_b, jaccard)."""
-    sigs = signatures(pages, cfg, id_col)
+def minhash_dup_pairs(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end: pages -> verified duplicate edges (id_a, id_b, jaccard).
+
+    Pass precomputed ``sigs`` when they are materialized elsewhere (the
+    staged pipeline checkpoints them): signatures feed BOTH the band side
+    and the verify side, and Spark has no cross-subtree common-subexpression
+    reuse — an un-materialized sigs subtree executes twice per action."""
+    if sigs is None:
+        # sigs feed the band side AND both verify joins — cache, don't
+        # recompute the (dominant) signature map three times per action
+        sigs = signatures(pages, cfg, id_col).localCheckpoint(eager=False)
     bkts = capped_buckets(band_buckets(sigs, cfg), cfg)
     cand = candidate_pairs(bkts, cfg)
     return verified_pairs(cand, sigs, cfg)

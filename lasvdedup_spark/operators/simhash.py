@@ -4,11 +4,18 @@
 bits that fit int64 in both Spark and DuckDB; see functions/hashing.py).
 
 simhash(doc): bit j is 1 iff sum over distinct tokens t of
-  w(t) * (+1 if bit j of h60(t) else -1) > 0,  w = in-doc term frequency.
+  w(t) * (+1 if bit j of h60(t) else -1) > 0,  w = in-doc term frequency
+— computed as the equivalent per-INSTANCE sum (each occurrence contributes
+its ±1, which totals w(t) * ±1), so no term-frequency grouping is needed.
 
-Entirely JVM-side: explode tokens -> groupBy(id, token) -> 60 conditional
-sums -> bit reassembly. The 60-wide aggregate stays inside whole-stage
-codegen (one shuffle on id).
+Entirely JVM-side as ONE aggregate-fold expression with a finish lambda:
+fold token-instance hashes into a 60-counter array, then reassemble the
+bits. Zero shuffle (the previous explode -> groupBy(id, token) formulation
+shuffled one row per token instance — measured 5x slower at sf0.1 locally,
+and unboundedly worse at cluster scale), collapse-proof (the hash transform
+is the aggregate's input argument, evaluated once per row regardless of
+projection merging — see functions/hashing.py minhash_sig_expr), and
+streaming-composable (pure projection).
 
 Pairing uses the pigeonhole banding trick: split 60 bits into 4 x 15-bit
 bands; any pair with hamming distance <= 3 must agree on at least one full
@@ -22,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lasvdedup_spark.config import DedupConfig
-from lasvdedup_spark.functions.hashing import portable_hash60
 from lasvdedup_spark.functions.text import tokens_expr
 
 SIMHASH_BITS = 60
@@ -31,25 +37,21 @@ BAND_BITS = 15
 
 
 def simhash(pages: DataFrame, id_col: str = "url") -> DataFrame:
-    """(id, simhash: bigint)."""
-    tok = (
-        pages.select(F.col(id_col).alias("id"), tokens_expr("text").alias("tokens"))
-        .select("id", F.explode("tokens").alias("token"))
-        .groupBy("id", "token")
-        .agg(F.count("*").alias("w"))
-        .withColumn("h", portable_hash60("token"))
+    """(id, simhash: bigint) — one fold expression, no shuffle."""
+    h = "cast(conv(substr(md5(t),1,15),16,10) as bigint)"
+    b = SIMHASH_BITS
+    fold = (
+        f"aggregate("
+        f"  transform(tokens, t -> {h}), "
+        f"  array_repeat(0L, {b}), "
+        f"  (acc, h) -> transform(sequence(0, {b - 1}), "
+        f"    j -> element_at(acc, j + 1) + if((shiftright(h, j) & 1) = 1, 1L, -1L)), "
+        f"  acc -> aggregate(sequence(0, {b - 1}), 0L, "
+        f"    (a, j) -> a + if(element_at(acc, j + 1) > 0, shiftleft(1L, j), 0L)))"
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.col("w")).otherwise(-F.col("w"))
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("id").agg(*bit_sums)
-    reassemble = " + ".join(
-        f"if(b{j} > 0, {1 << j}L, 0L)" for j in range(SIMHASH_BITS)
-    )
-    return agg.select("id", F.expr(reassemble).alias("simhash"))
+    return pages.select(
+        F.col(id_col).alias("id"), tokens_expr("text").alias("tokens")
+    ).select("id", F.expr(fold).alias("simhash"))
 
 
 def simhash_bands(sh: DataFrame) -> DataFrame:

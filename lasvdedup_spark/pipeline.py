@@ -134,7 +134,19 @@ def dedup(
         ))
         edge_frames.append(e.select("id_a", "id_b", "jaccard"))
     if "minhash" in tiers:
-        e = r.stage("edges_minhash", lambda: minhash.minhash_dup_pairs(narrow, cfg))
+        # the north rule's checkpoint stages: signatures -> bands -> pairs
+        sigs = r.stage(
+            "signatures", lambda: minhash.signatures(narrow, cfg), heavy=True
+        )
+        bands = r.stage(
+            "bands", lambda: minhash.capped_buckets(minhash.band_buckets(sigs, cfg), cfg)
+        )
+        e = r.stage(
+            "pairs",
+            lambda: minhash.verified_pairs(
+                minhash.candidate_pairs(bands, cfg), sigs, cfg
+            ),
+        )
         edge_frames.append(e.select("id_a", "id_b", "jaccard"))
     if "simhash" in tiers:
         e = r.stage(

@@ -71,6 +71,7 @@ def synth_pages_with_dups(
     near_rate: int = 10,      # 1 in N docs gets a near-dup (small token edits)
     chain_rate: int = 20,     # 1 in N docs gets a 3-link near-dup chain A~B~C
     expand: int = 1,          # replicate the base corpus this many times (bench scale)
+    concat: int = 1,          # merge K consecutive base docs into one page
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (pages, truth). truth(url, cluster_id, kind) is ground truth
     for recall measurement and is never read by the engine itself.
@@ -82,16 +83,46 @@ def synth_pages_with_dups(
     true positive at the configured shingle/signature settings.
     """
     docs = load_documents(spark, sf_dir)
+    if concat > 1:
+        # The driver-provided documents average ~55 tokens — 10-100x smaller
+        # than real Common-Crawl pages. Merging K consecutive docs yields
+        # design-point-sized pages (same total token volume, 1/K the rows),
+        # so benchmarks exercise the real CPU:shuffle ratio instead of an
+        # overhead-dominated one. Deterministic: grouped by doc_id // K,
+        # concatenated in doc_id order.
+        docs = (
+            docs.withColumn("_grp", F.floor(F.col("doc_id") / concat))
+            .groupBy("_grp")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.expr("transform(sort_array(collect_list(struct(doc_id, text))), x -> x.text)"),
+                ).alias("text"),
+                F.min_by("lang", "doc_id").alias("lang"),
+                F.min_by("source", "doc_id").alias("source"),
+            )
+            .drop("_grp")
+            .withColumn("n_chars", F.length("text"))
+        )
     if expand > 1:
         reps = spark.range(expand).select(F.col("id").alias("rep"))
         docs = docs.crossJoin(reps).withColumn(
             "doc_id", F.col("doc_id") + F.col("rep") * 10_000_000
         ).withColumn(
-            # vary text across replicas so they don't all collapse into one
-            # exact-dup cluster: prefix a replica token.
+            # Replicas must be genuinely DISTINCT documents, not near-dups of
+            # each other: replacing every 3rd token with a replica marker
+            # leaves no shared 4-shingle across replicas (every 4-token
+            # window spans >= 1 replaced position). A mere prefix would keep
+            # cross-replica jaccard ~0.85 — above threshold — turning every
+            # base doc into an expand-sized mega-cluster and inflating pair
+            # volume quadratically with expand (unrealistic dup density).
             "text",
             F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text"))
+                F.expr(
+                    "concat_ws(' ', transform(split(text, ' '), "
+                    "(t, i) -> if(i % 3 = 2, concat('r', cast(rep as string)), t)))"
+                )
             ),
         ).drop("rep")
 

@@ -1,0 +1,74 @@
+"""Salted band-bucket join (north rule: skew handling is explicit, not
+hoped-for): the salted path must yield the IDENTICAL candidate-pair set as
+the plain self-join, while splitting mega-bucket pair enumeration across
+salt partitions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import DedupConfig
+from lasvdedup_spark.operators.minhash import band_buckets, candidate_pairs, signatures
+
+
+@pytest.fixture(scope="module")
+def skewed_buckets(spark):
+    """120 copies of one boilerplate text (a guaranteed mega-bucket in every
+    band) + 40 distinct docs (small buckets)."""
+    boiler = [(f"u/b{i:03d}", "login page please enter your username and password to continue")
+              for i in range(120)]
+    distinct = [(f"u/d{i:03d}", f"unique document number {i} " + " ".join(f"tok{i}x{j}" for j in range(30)))
+                for i in range(40)]
+    pages = spark.createDataFrame(boiler + distinct, "url string, text string")
+    cfg = DedupConfig()
+    return band_buckets(signatures(pages, cfg), cfg).cache()
+
+
+def _pairs(buckets, cfg):
+    return {
+        (r["id_a"], r["id_b"], r["n_bands"])
+        for r in candidate_pairs(buckets, cfg).collect()
+    }
+
+
+def test_salted_equals_plain(skewed_buckets):
+    plain = _pairs(skewed_buckets, DedupConfig(salt_buckets=1))
+    # cutoff=16 forces the boilerplate buckets (size 120) onto the salted path
+    salted = _pairs(skewed_buckets, DedupConfig(salt_buckets=4, skew_bucket_cutoff=16))
+    assert plain == salted
+    # sanity: the mega-bucket really produced its full pair set
+    boiler_pairs = {p for p in plain if p[0].startswith("u/b") and p[1].startswith("u/b")}
+    assert len(boiler_pairs) == 120 * 119 // 2
+
+
+def test_salt_splits_left_side(skewed_buckets):
+    """Each unordered pair must appear exactly once (n_bands counts bands,
+    not salt duplicates): identical docs collide in all 32 bands."""
+    salted = candidate_pairs(
+        skewed_buckets, DedupConfig(salt_buckets=4, skew_bucket_cutoff=16)
+    )
+    bad = salted.where(
+        F.col("id_a").startswith("u/b") & (F.col("n_bands") != 32)
+    ).count()
+    assert bad == 0
+
+
+def test_fingerprint_ignores_salt_knobs():
+    a = DedupConfig(salt_buckets=1).fingerprint()
+    b = DedupConfig(salt_buckets=8, skew_bucket_cutoff=16).fingerprint()
+    assert a == b  # physical knobs never invalidate checkpoints
+    assert DedupConfig(jaccard_threshold=0.6).fingerprint() != a
+
+
+def test_xxhash_family_end_to_end(spark):
+    """The production hash family (bench path: numeric band keys, no oracle)
+    must find the same kinds of duplicates as the portable md5 family."""
+    rows = [("u/a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ("u/b", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ("u/c", "totally different content with nothing shared at all here")]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    from lasvdedup_spark.operators.minhash import minhash_dup_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_dup_pairs(pages, DedupConfig(hash_family="xxhash64")).collect()}
+    assert ("u/a", "u/b") in pairs
+    assert not any("u/c" in p for p in pairs)
