@@ -83,7 +83,28 @@ class StageRunner:
         self.metrics.append(
             {"stage": name, "skipped": False, "seconds": time.time() - t0, "rows": rows}
         )
+        self._write_partition_lineage(name, out)
         return out
+
+    def _write_partition_lineage(self, stage: str, df: DataFrame) -> None:
+        """Per-partition lineage rows (north rule): how many rows each
+        partition of the persisted stage holds, keyed by stage + config
+        fingerprint. This is what makes skew VISIBLE after the fact — a
+        stage whose max/mean partition ratio blows up is the one to salt —
+        and it documents exactly which partition of which checkpoint any
+        downstream row came from."""
+        pl = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .select(
+                F.lit(stage).alias("stage"),
+                F.lit(self.cfg.fingerprint()).alias("config_fingerprint"),
+                "partition_id",
+                F.col("count").alias("rows"),
+                F.lit(float(time.time())).alias("logged_at"),
+            )
+        )
+        pl.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
 
     def write_metrics(self) -> None:
         if self.root is None:

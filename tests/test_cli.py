@@ -52,3 +52,24 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
     out = spark.read.parquet(outp)
     assert out.count() == pages.count()
     assert {"url", "component", "classification", "decision_category"} <= set(out.columns)
+
+
+def test_per_partition_lineage_written(spark, sf_dir, tmp_path):
+    """North rule: per-partition lineage + metrics persist per stage."""
+    from lasvdedup_spark.config import DedupConfig
+    from lasvdedup_spark.pipeline import dedup
+    from lasvdedup_spark.sources.pages import synth_pages_with_dups
+
+    pages, _ = synth_pages_with_dups(spark, sf_dir)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path))
+    dedup(spark, pages, cfg).count()
+
+    import os
+    root = os.path.join(str(tmp_path), cfg.fingerprint())
+    lineage = spark.read.parquet(os.path.join(root, "_lineage"))
+    stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+    assert {"signatures", "pairs", "components", "classifications"} <= stages
+    # lineage row counts must reconcile with the stage's persisted total
+    sig_rows = lineage.where(lineage.stage == "signatures").groupBy().sum("rows").collect()[0][0]
+    assert sig_rows == spark.read.parquet(os.path.join(root, "signatures")).count()
+    assert {"stage", "config_fingerprint", "partition_id", "rows", "logged_at"} == set(lineage.columns)
