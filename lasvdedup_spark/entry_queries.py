@@ -236,12 +236,20 @@ from documents
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _doc_sigs(spark, sf_dir).select(F.col("id").alias("doc_id"), "sig")
+    # sig serialized to a canonical CSV string: the driver's canonicalizer
+    # sort_values-hashes every cell, and pandas cannot factorize list cells
+    # (CORRECTNESS_r01 err) — the values are unchanged, only the encoding.
+    return _doc_sigs(spark, sf_dir).select(
+        F.col("id").alias("doc_id"),
+        F.expr("array_join(transform(sig, x -> cast(x as string)), ',')").alias(
+            "sig_csv"
+        ),
+    )
 
 
 O_MINHASH_SIGNATURES = f"""
 with {_DK_SIG_CTE}
-select doc_id, sig from sig
+select doc_id, array_to_string(sig, ',') as sig_csv from sig
 """
 
 
@@ -308,6 +316,137 @@ select id as doc_id, min(lbl) as component from reach group by id
 """
 
 
+def q_classifications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 5-case classification cascade (sequence_grouping.py:185-353)
+    end-to-end: verified edges -> connected components -> rank ->
+    pair-completeness / robust-stat outliers -> category + representative.
+    This is the heart of SURVEY §2.8c, oracle-checked against an independent
+    SQL engine for every branch (reason string excluded: it embeds a rounded
+    float whose tie-rounding is engine-specific; all decision inputs are
+    checked via the other columns)."""
+    from lasvdedup_spark.operators.classify import classify
+    from lasvdedup_spark.operators.components import assign_components
+
+    docs = _docs(spark, sf_dir)
+    edges = _doc_verified_pairs(spark, sf_dir).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+        "jaccard",
+    )
+    assignments = assign_components(
+        docs,
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    stats = docs.select(F.col("doc_id").cast("string").alias("id"), "n_chars")
+    out = classify(assignments, edges, stats, CFG)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "classification",
+        "decision_category",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("dist_to_target").cast("long").alias("dist_to_target"),
+        "cluster_size",
+        F.col("rep_id").cast("long").alias("rep_id"),
+    )
+
+
+def _o_classifications_sql() -> str:
+    # component ids / ranks / rep selection operate on STRING ids (the
+    # engine's id space is urls; doc_ids are stringified the same way), so
+    # every min/order-by below is over varchar, mirroring the Spark side.
+    evo = (1.0 - CFG.strong_threshold) / CFG.z_threshold
+    return f"""
+with recursive {_DK_PAIRS_CTE},
+e as (select cast(id_a as varchar) as a, cast(id_b as varchar) as b, jaccard from verified),
+und as (select a as u, b as v from e union select b, a from e),
+nodes as (select distinct cast(doc_id as varchar) as id from documents),
+reach(id, lbl) as (
+  select id, id from nodes
+  union
+  select u.v, r.lbl from reach r join und u on u.u = r.id
+),
+comp as (select id, min(lbl) as component from reach group by id),
+stats as (select cast(doc_id as varchar) as id, n_chars from documents),
+members as (
+  select c.id, c.component, s.n_chars,
+         abs(s.n_chars - {CFG.target_length}) as dist_to_target
+  from comp c join stats s using (id)),
+ranked as (
+  select *, row_number() over (partition by component
+            order by dist_to_target asc, id asc) as rank
+  from members),
+ecomp as (
+  select c.component, e.a as id_a, e.b as id_b, e.jaccard
+  from e join comp c on c.id = e.a),
+comp_pairs as (
+  select component, min(jaccard) as min_jaccard, count(*) as n_pairs
+  from ecomp group by component),
+half as (
+  select component, id_a as id, jaccard from ecomp
+  union all
+  select component, id_b as id, jaccard from ecomp),
+member_score as (
+  select component, id, 1.0 - avg(jaccard) as mean_dist
+  from half group by component, id),
+med as (select component, median(mean_dist) as med from member_score group by component),
+madt as (
+  select ms.component, median(abs(ms.mean_dist - m.med)) as mad
+  from member_score ms join med m using (component) group by ms.component),
+robust as (
+  select m.component,
+         case when t.mad = 0 then m.med + {evo!r}
+              else m.med + {CFG.z_threshold!r} * t.mad end as cutoff
+  from med m join madt t using (component)),
+m0 as (
+  select r.id, r.component, r.dist_to_target, r.rank,
+         ms.mean_dist, cp.min_jaccard, cp.n_pairs, rb.cutoff
+  from ranked r
+  left join member_score ms on ms.component = r.component and ms.id = r.id
+  left join comp_pairs cp on cp.component = r.component
+  left join robust rb on rb.component = r.component),
+m1 as (
+  select *, count(*) over (partition by component) as cluster_size,
+         case when cutoff is not null then mean_dist > cutoff else false end as is_outlier
+  from m0),
+m2 as (
+  select *, sum(case when is_outlier then 1 else 0 end)
+            over (partition by component) as n_outliers
+  from m1),
+m3 as (select *, ((not is_outlier) or (n_outliers = cluster_size)) as eligible from m2),
+m4 as (
+  select *, min(case when eligible then rank end)
+            over (partition by component) as best_rank
+  from m3),
+m5 as (select *, (rank = best_rank) as is_best from m4),
+m6 as (
+  select *, min(case when is_best then id end)
+            over (partition by component) as rep_id
+  from m5),
+m7 as (
+  select *,
+    case when cluster_size = 1 then 'SingleSequence'
+         when n_pairs = cluster_size * (cluster_size - 1) / 2
+              and min_jaccard >= {CFG.strong_threshold!r} then 'BelowThreshold'
+         when cluster_size <= {CFG.clade_size} then 'SmallClade'
+         when n_outliers > 0 then 'OutliersDetected'
+         else 'TrueCoinfection' end as decision_category
+  from m6),
+m8 as (
+  select *,
+    case when decision_category = 'SingleSequence' then 'good'
+         when decision_category = 'TrueCoinfection' then 'coinfection'
+         when is_best then 'good'
+         else 'bad' end as classification
+  from m7)
+select cast(id as bigint) as doc_id, cast(component as bigint) as component,
+       classification, decision_category, rank, dist_to_target, cluster_size,
+       cast(rep_id as bigint) as rep_id
+from m8
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min 60-bit hash over the doc's
     token L-grams (winnowing min-sample, L = substring_min_tokens)."""
@@ -362,13 +501,18 @@ def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            # CSV-serialized member list (driver canon can't hash list cells)
+            F.expr(
+                "array_join(transform(sort_array(collect_list(doc_id)), "
+                "x -> cast(x as string)), ',')"
+            ).alias("doc_ids_csv"),
         )
     )
 
 
 O_GROUP_COLLECT = """
-select lang, count(*) as n_docs, list(doc_id order by doc_id) as doc_ids
+select lang, count(*) as n_docs,
+       string_agg(doc_id::VARCHAR, ',' order by doc_id) as doc_ids_csv
 from documents group by lang
 """
 
@@ -479,7 +623,7 @@ def q_left_join_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_LEFT_JOIN_MISSES = """
 select d.lang, count(*) as n_docs,
-       sum(case when e.vec_id is null then 1 else 0 end) as n_missing
+       sum(case when e.vec_id is null then 1 else 0 end)::BIGINT as n_missing
 from documents d left join embeddings e on d.doc_id = e.vec_id
 group by d.lang
 """
@@ -838,6 +982,7 @@ QUERIES = {
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "dup_pairs_verified": q_dup_pairs_verified,
     "dup_clusters": q_dup_clusters,
+    "classifications": q_classifications,
     "doc_fingerprints": q_doc_fingerprints,
     "substring_candidate_pairs": q_substring_candidate_pairs,
     "group_collect": q_group_collect,
@@ -867,6 +1012,7 @@ ORACLES = {
     "lsh_candidate_pairs": O_LSH_CANDIDATE_PAIRS,
     "dup_pairs_verified": O_DUP_PAIRS_VERIFIED,
     "dup_clusters": O_DUP_CLUSTERS,
+    "classifications": _o_classifications_sql(),
     "doc_fingerprints": O_DOC_FINGERPRINTS,
     "substring_candidate_pairs": O_SUBSTRING_CANDIDATE_PAIRS,
     "group_collect": O_GROUP_COLLECT,

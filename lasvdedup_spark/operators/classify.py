@@ -142,9 +142,20 @@ def classify(
         "rep_id", F.min(F.when(F.col("is_best"), F.col("id"))).over(wc)
     )
 
+    # BelowThreshold (reference case 2) requires ALL C(n,2) pairwise
+    # distances below threshold (sequence_grouping.py:227, :51-53) — not
+    # just the pairs that happened to be LSH-verified. A transitive chain
+    # A~B~C whose A–C pair never verified must fall through to the
+    # clade/outlier branches, exactly like the reference.
+    complete = F.col("n_pairs") == (
+        F.col("cluster_size") * (F.col("cluster_size") - 1) / 2
+    )
     category = (
         F.when(F.col("cluster_size") == 1, F.lit("SingleSequence"))
-        .when(F.col("min_jaccard") >= F.lit(cfg.strong_threshold), F.lit("BelowThreshold"))
+        .when(
+            complete & (F.col("min_jaccard") >= F.lit(cfg.strong_threshold)),
+            F.lit("BelowThreshold"),
+        )
         .when(F.col("cluster_size") <= F.lit(cfg.clade_size), F.lit("SmallClade"))
         .when(F.col("n_outliers") > 0, F.lit("OutliersDetected"))
         .otherwise(F.lit("TrueCoinfection"))

@@ -54,6 +54,42 @@ def test_below_threshold_picks_best_rank(spark):
     assert all(r["rep_id"] == "B" for r in out.values())
 
 
+def test_chain_with_missing_pair_is_not_below_threshold(spark):
+    # Reference case 2 requires ALL C(n,2) pairwise distances below
+    # threshold (sequence_grouping.py:227, :51-53). A transitive chain
+    # A~B~C whose A–C pair never verified has only 2 of 3 pairs — it must
+    # fall through to SmallClade, not BelowThreshold, even though every
+    # EXISTING edge is strong.
+    out = run_classify(
+        spark,
+        [("A", "A"), ("B", "A"), ("C", "A")],
+        [("A", "B", 0.9), ("B", "C", 0.9)],  # A–C missing
+        [("A", 100), ("B", 150), ("C", 200)],
+    )
+    assert all(r["decision_category"] == "SmallClade" for r in out.values())
+    assert out["A"]["classification"] == "good"
+    assert out["B"]["classification"] == "bad"
+    assert out["C"]["classification"] == "bad"
+
+
+def test_big_chain_with_missing_pairs_reaches_outlier_branch(spark):
+    # Same incomplete-pair rule on a component larger than clade_size:
+    # a 5-link strong chain (4 of 10 pairs present) must reach the
+    # outlier/coinfection logic, never BelowThreshold.
+    chain = ["A", "B", "C", "D", "E"]
+    edges = [(chain[i], chain[i + 1], 0.9) for i in range(4)]
+    out = run_classify(
+        spark,
+        [(x, "A") for x in chain],
+        edges,
+        [(x, 100 + i) for i, x in enumerate(chain)],
+    )
+    assert all(
+        r["decision_category"] in ("OutliersDetected", "TrueCoinfection")
+        for r in out.values()
+    )
+
+
 def test_rank_tie_broken_by_id(spark):
     # reference tie rule: stable first-encountered (io_utils.py:48-55);
     # distributed equivalent: explicit id tiebreak (SURVEY §2.5)
