@@ -733,6 +733,7 @@ from r
 # --- embeddings / similarity search ---
 
 _N_PLANES = 6
+_N_TABLES = 2   # multi-table banding: candidate iff colliding in ANY table
 _EMB_DIM = 64
 _KNN_K = 5
 _N_QUERIES = 8
@@ -742,6 +743,33 @@ def _planes() -> list[list[int]]:
     from lasvdedup_spark.operators.ann import plane_signs
 
     return plane_signs(_N_PLANES, _EMB_DIM)
+
+
+def _tables() -> list[list[list[int]]]:
+    from lasvdedup_spark.operators.ann import plane_tables
+
+    return plane_tables(_N_TABLES, _N_PLANES, _EMB_DIM)
+
+
+def _dk_bucket_expr(planes: list[list[int]], offset: int) -> str:
+    """DuckDB twin of hyperplane_bucket_expr + the multi-table offset."""
+    terms = []
+    for p, row in enumerate(planes):
+        dot = " + ".join(
+            f"({s}) * embedding[{d + 1}]::DOUBLE" for d, s in enumerate(row)
+        )
+        terms.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
+    return f"({' + '.join(terms)} + {offset})::BIGINT"
+
+
+def _dk_multi_buckets_cte() -> str:
+    """b(id, vec, bucket) — one row per (vector, banding table)."""
+    selects = [
+        f"select vec_id as id, embedding as vec, "
+        f"{_dk_bucket_expr(planes, t * (1 << _N_PLANES))} as bucket from embeddings"
+        for t, planes in enumerate(_tables())
+    ]
+    return " union all ".join(selects)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,28 +832,25 @@ def O_ANN_BUCKETS() -> str:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k over multi-table hyperplane banding (candidate iff
+    colliding in ANY of the B tables — the scale path: no fixed 2^P bucket
+    count capping selectivity)."""
     from lasvdedup_spark.operators.ann import ann_lsh_topk
 
-    return ann_lsh_topk(_emb(spark, sf_dir), _planes(), k=3).select(
+    return ann_lsh_topk(_emb(spark, sf_dir), _tables(), k=3).select(
         F.col("qid"), F.col("tid"), "pos", "score"
     )
 
 
 def O_ANN_LSH_TOPK() -> str:
-    planes = _planes()
-    terms = []
-    for p, row in enumerate(planes):
-        dot = " + ".join(
-            f"({s}) * embedding[{d + 1}]::DOUBLE" for d, s in enumerate(row)
-        )
-        terms.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
-    bucket = f"({' + '.join(terms)})::BIGINT"
     return f"""
-with b as (select vec_id as id, embedding as vec, {bucket} as bucket from embeddings),
+with b as ({_dk_multi_buckets_cte()}),
 cand as (
-  select a.id as qid, a.vec as qvec, t.id as tid, t.vec as tvec
+  select a.id as qid, t.id as tid,
+         any_value(a.vec) as qvec, any_value(t.vec) as tvec
   from b a join b t using (bucket)
-  where a.id != t.id),
+  where a.id != t.id
+  group by a.id, t.id),
 scored as (
   select qid, tid,
          ({_dk_dot('qvec', 'tvec')}) /
@@ -840,11 +865,12 @@ qualify pos <= 3
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (bucket-join candidates, cosine >= t);
-    the vector analog of dup_pairs_verified."""
+    """Embedding-cosine near-dup pairs (multi-table banded candidates,
+    salted bucket join, cosine >= t); the vector analog of
+    dup_pairs_verified."""
     from lasvdedup_spark.operators.ann import cosine_dup_pairs
 
-    return cosine_dup_pairs(_emb(spark, sf_dir), _planes(), threshold=0.3).select(
+    return cosine_dup_pairs(_emb(spark, sf_dir), _tables(), threshold=0.3).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
@@ -852,26 +878,20 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def O_EMBEDDING_COSINE_PAIRS() -> str:
-    planes = _planes()
-    terms = []
-    for p, row in enumerate(planes):
-        dot = " + ".join(
-            f"({s}) * embedding[{d + 1}]::DOUBLE" for d, s in enumerate(row)
-        )
-        terms.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
-    bucket = f"({' + '.join(terms)})::BIGINT"
     return f"""
-with b as (select vec_id as id, embedding as vec, {bucket} as bucket from embeddings),
+with b as ({_dk_multi_buckets_cte()}),
 cand as (
-  select a.id as id_a, a.vec as va, t.id as id_b, t.vec as vb
+  select a.id as id_a, t.id as id_b,
+         any_value(a.vec) as va, any_value(t.vec) as vb
   from b a join b t using (bucket)
-  where a.id < t.id),
+  where a.id < t.id
+  group by a.id, t.id),
 scored as (
   select id_a, id_b,
          ({_dk_dot('va', 'vb')}) /
          (sqrt({_dk_dot('va', 'va')}) * sqrt({_dk_dot('vb', 'vb')})) as cosine
   from cand)
-select distinct id_a, id_b, round(cosine, 6) as cosine
+select id_a, id_b, round(cosine, 6) as cosine
 from scored where cosine >= 0.3
 """
 

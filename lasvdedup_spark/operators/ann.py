@@ -36,6 +36,17 @@ def plane_signs(n_planes: int, dim: int, seed: str = "ann") -> list[list[int]]:
     return planes
 
 
+def plane_tables(
+    n_tables: int, n_planes: int, dim: int, seed: str = "ann"
+) -> list[list[list[int]]]:
+    """B independent banding tables of P planes each — the vector analog of
+    MinHash's b×r banding. One table of P planes partitions space into 2^P
+    fixed buckets, so within-bucket candidates grow ~n²/2^P (quadratic at
+    scale); B smaller tables keep buckets selective while the OR over
+    tables keeps recall (candidate iff colliding in ANY table)."""
+    return [plane_signs(n_planes, dim, f"{seed}:t{t}") for t in range(n_tables)]
+
+
 def _dot_sql(a: str, b: str) -> str:
     """Sequential left-to-right double dot product of two array columns."""
     return (
@@ -95,54 +106,118 @@ def ann_buckets(vectors: DataFrame, planes: list[list[int]],
     )
 
 
-def cosine_dup_pairs(
+def _as_tables(planes_or_tables) -> list[list[list[int]]]:
+    """Accept a single plane table (list of ±1 rows) or a list of tables."""
+    if planes_or_tables and isinstance(planes_or_tables[0][0], list):
+        return planes_or_tables
+    return [planes_or_tables]
+
+
+def ann_buckets_multi(
     vectors: DataFrame,
-    planes: list[list[int]],
-    threshold: float,
+    tables: list[list[list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: unordered pairs that collide
-    in a hyperplane bucket AND score cosine >= threshold (inclusive, same
-    convention as the text tiers). The embedding analog of
-    minhash_dup_pairs — these edges can feed the same connected-components
-    + classification stages. -> (id_a, id_b, cosine)."""
-    b = ann_buckets(vectors, planes, id_col, vec_col)
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    withv = b.join(v, "id")
-    a = withv.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    t = withv.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    """(id, bucket) — one row per (vector, table); bucket id spaces are
+    disjoint across tables (bucket = t * 2^P + table_bucket), so downstream
+    pair generation is a single equi-join on one int64 key. One pass over
+    the vectors, all JVM-side."""
+    n_planes = len(tables[0])
+    entries = F.array(
+        *[
+            (
+                hyperplane_bucket_expr(planes, vec_col)
+                + F.lit(t * (1 << n_planes)).cast("long")
+            ).alias(f"t{t}")
+            for t, planes in enumerate(tables)
+        ]
+    )
+    return vectors.select(
+        F.col(id_col).alias("id"), F.explode(entries).alias("bucket")
+    )
+
+
+def ann_capped_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Optional bucket-size cap (same deterministic keep-lowest-ids rule as
+    minhash.capped_buckets); callers log the dropped count — never a silent
+    truncation (pipeline metrics pattern)."""
+    if max_bucket_size is None:
+        return buckets
+    w = Window.partitionBy("bucket").orderBy("id")
     return (
-        a.join(t, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    planes: list[list[int]] | list[list[list[int]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 8,
+    skew_cutoff: int = 1024,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: unordered pairs that collide
+    in ANY banding table's bucket AND score cosine >= threshold (inclusive,
+    same convention as the text tiers). The embedding analog of
+    minhash_dup_pairs — same structure too: multi-table banding for recall,
+    salted bucket join for skew, verify on the candidate set only. The
+    wide vector columns join in AFTER pair dedup, so vectors are never
+    shuffled through the bucket join. -> (id_a, id_b, cosine)."""
+    from lasvdedup_spark.operators.pairs import salted_pair_join
+
+    tables = _as_tables(planes)
+    b = ann_capped_buckets(
+        ann_buckets_multi(vectors, tables, id_col, vec_col), max_bucket_size
+    )
+    cand = salted_pair_join(b, "bucket", salt_buckets, skew_cutoff, "n_tables")
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_expr("vec_a", "vec_b"))
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .distinct()  # a pair may collide in several salted variants upstream
     )
 
 
 def ann_lsh_topk(
     vectors: DataFrame,
-    planes: list[list[int]],
+    planes: list[list[int]] | list[list[list[int]]],
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k neighbors per vector among same-bucket candidates.
-    The scale path: bucket join instead of cross join; recall grows with
-    multi-probe or fewer planes (config), traded against candidate count."""
-    b = ann_buckets(vectors, planes, id_col, vec_col)
+    """Approximate top-k neighbors per vector among candidates colliding in
+    ANY banding table (OR over tables = the recall knob; bucket cap = the
+    worst-case cost knob). Candidates are deduped on the narrow (qid, tid)
+    pairs BEFORE the wide vectors join in for scoring."""
+    tables = _as_tables(planes)
+    b = ann_capped_buckets(
+        ann_buckets_multi(vectors, tables, id_col, vec_col), max_bucket_size
+    )
+    a = b.select(F.col("id").alias("qid"), "bucket")
+    t = b.select(F.col("id").alias("tid"), "bucket")
+    cand = (
+        a.join(t, "bucket")
+        .where(F.col("qid") != F.col("tid"))
+        .groupBy("qid", "tid")
+        .agg(F.count("*").alias("n_tables"))
+    )
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    withv = b.join(v, "id")
-    a = withv.select(
-        F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket"
+    scored = (
+        cand.join(v.select(F.col("id").alias("qid"), F.col("vec").alias("qvec")), "qid")
+        .join(v.select(F.col("id").alias("tid"), F.col("vec").alias("tvec")), "tid")
+        .withColumn("score", cosine_expr("qvec", "tvec"))
     )
-    t = withv.select(
-        F.col("id").alias("tid"), F.col("vec").alias("tvec"), "bucket"
-    )
-    cand = a.join(t, "bucket").where(F.col("qid") != F.col("tid"))
-    scored = cand.withColumn("score", cosine_expr("qvec", "tvec"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("tid"))
     return (
         scored.withColumn("pos", F.row_number().over(w))

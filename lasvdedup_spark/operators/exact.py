@@ -39,12 +39,16 @@ def exact_dup_clusters(pages: DataFrame, id_col: str = "url") -> DataFrame:
 
 
 def exact_dup_pairs(pages: DataFrame, id_col: str = "url") -> DataFrame:
-    """Unordered exact-dup pairs (a < b), the i<j dedup of the reference's
-    get_distances pair enumeration (distance_matrix.py:35-43)."""
-    h = with_content_hash(pages).select(F.col(id_col).alias("id"), "content_hash")
-    a, b = h.alias("a"), h.alias("b")
-    return (
-        a.join(b, "content_hash")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    """Star edges (rep_id, member) per exact-dup cluster, id_a < id_b.
+
+    Deliberately NOT the all-pairs enumeration of the reference's
+    get_distances (distance_matrix.py:35-43): connected components only
+    need a spanning structure, and a web-scale boilerplate cluster of 100k
+    identical pages would otherwise emit 5e9 edges inside one hash group.
+    Star edges are O(m) per cluster and produce identical components
+    (every member is linked to the cluster minimum). rep_id = min id, so
+    id_a < id_b holds by construction."""
+    c = exact_dup_clusters(pages, id_col)
+    return c.where(F.col("is_duplicate")).select(
+        F.col("rep_id").alias("id_a"), F.col(id_col).alias("id_b")
     )

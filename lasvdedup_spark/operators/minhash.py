@@ -71,72 +71,20 @@ def capped_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Distinct unordered candidate pairs (id_a < id_b) from band collisions,
-    with explicit salting of skewed buckets (the north rule's "salted
-    band-bucket joins to kill skew").
+    """Distinct unordered candidate pairs (id_a < id_b, n_bands) from band
+    collisions, with explicit salting of skewed buckets (the north rule's
+    "salted band-bucket joins to kill skew"). Delegates to the shared
+    salted_pair_join (operators/pairs.py) — fully lazy: no job runs at
+    plan-composition time, so the operator composes onto streaming
+    DataFrames and StageRunner's pass-through mode stays pure."""
+    from lasvdedup_spark.operators.pairs import salted_pair_join
 
-    The a.id < b.id predicate is exactly the reference's i<j pair dedup
-    (distance_matrix.py:38). Dedup-across-bands via groupBy, not distinct():
-    same result, but groupBy(two cols) partial-aggregates map-side.
-
-    Skew: a boilerplate mega-bucket of m members makes one task enumerate
-    m^2/2 pairs. Buckets larger than cfg.skew_bucket_cutoff take a salted
-    path: the left side keeps one salt s(id) = pmod(xxhash64(id), S); the
-    right side is replicated to every salt; joining on (bucket, salt) yields
-    each unordered pair exactly once (from the orientation where the smaller
-    id is on the left) while spreading the bucket's pair space over S tasks.
-    AQE skew-join remains on as a backstop for milder imbalance.
-    """
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-
-    if cfg.salt_buckets <= 1:
-        joined = a.join(b, "bucket").where(F.col("a.id") < F.col("b.id"))
-        return joined.groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        ).agg(F.count("*").alias("n_bands"))
-
-    # The skew machinery reads `buckets` three times (size census, small
-    # path, salted path); materialize once or the whole signature/band
-    # subtree re-executes per reference (no cross-subtree CSE in Spark).
-    buckets = buckets.localCheckpoint(eager=False)
-    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("_bsz"))
-    big = sizes.where(F.col("_bsz") > cfg.skew_bucket_cutoff).select("bucket")
-
-    # Common case: no mega-buckets -> plain self-join, zero skew overhead.
-    # The census is one map-side-combinable agg over the cached buckets and
-    # its result is needed for the routing decision anyway.
-    if big.isEmpty():
-        joined = buckets.alias("a").join(buckets.alias("b"), "bucket").where(
-            F.col("a.id") < F.col("b.id")
-        )
-        return joined.groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        ).agg(F.count("*").alias("n_bands"))
-
-    small = buckets.join(F.broadcast(big), "bucket", "left_anti")
-    plain = (
-        small.alias("a")
-        .join(small.alias("b"), "bucket")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-
-    skewed = buckets.join(F.broadcast(big), "bucket", "left_semi")
-    s = cfg.salt_buckets
-    left = skewed.withColumn("_salt", F.pmod(F.xxhash64("id"), F.lit(s)))
-    right = skewed.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-    )
-    salted = (
-        left.alias("a")
-        .join(right.alias("b"), ["bucket", "_salt"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-
-    return plain.unionByName(salted).groupBy("id_a", "id_b").agg(
-        F.count("*").alias("n_bands")
+    return salted_pair_join(
+        buckets,
+        "bucket",
+        cfg.salt_buckets,
+        cfg.skew_bucket_cutoff,
+        count_alias="n_bands",
     )
 
 

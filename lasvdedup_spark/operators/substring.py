@@ -45,14 +45,21 @@ def lgram_hashes(pages: DataFrame, cfg: DedupConfig, id_col: str = "url",
 
 def substring_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url",
                         sample_mod: int = 1) -> DataFrame:
-    """(id_a, id_b, n_shared_grams) for docs sharing >= 1 L-gram."""
+    """(id_a, id_b, n_shared_grams) for docs sharing >= 1 L-gram.
+
+    Same join shape — and the same boilerplate-gram skew hazard — as the
+    LSH band join (a 16-token legal footer shared by m pages is one gram
+    key with m members = m^2/2 pairs in one task), so it routes through
+    the identical salted_pair_join machinery."""
+    from lasvdedup_spark.operators.pairs import salted_pair_join
+
     g = lgram_hashes(pages, cfg, id_col, sample_mod)
-    a, b = g.alias("a"), g.alias("b")
-    return (
-        a.join(b, "gh")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_shared_grams"))
+    return salted_pair_join(
+        g,
+        "gh",
+        cfg.salt_buckets,
+        cfg.skew_bucket_cutoff,
+        count_alias="n_shared_grams",
     )
 
 
@@ -75,26 +82,60 @@ def span_lengths(pages: DataFrame, pairs: DataFrame, id_col: str = "url") -> Dat
     )
 
     def _lcs_tokens(a: list, b: list) -> int:
-        # longest common substring over token sequences via suffix sorting of
-        # the separator-joined sequence; O((n+m) log(n+m)) per pair.
-        sep = "\x00"
-        seq = list(a) + [sep] + list(b)
-        n, na = len(seq), len(a)
-        suffixes = sorted(range(n), key=lambda i: seq[i:])
-        best = 0
-        for i in range(1, n):
-            s1, s2 = suffixes[i - 1], suffixes[i]
-            # only count pairs of suffixes from different docs
-            if (s1 < na) == (s2 < na):
-                continue
-            l = 0
-            while (
-                s1 + l < n and s2 + l < n
-                and seq[s1 + l] == seq[s2 + l] and seq[s1 + l] != sep
-            ):
-                l += 1
-            best = max(best, l)
-        return best
+        # Longest common token span via binary search on the span length
+        # with a rolling-hash L-gram table + exact slice verification on
+        # hash hits: O((n+m) log min(n,m)) time, O(n+m) memory. (The naive
+        # sorted(range(n), key=lambda i: seq[i:]) suffix sort materializes
+        # O(n^2) slice keys — quadratic MEMORY per pair, fatal for long
+        # documents even though this kernel only ever sees candidate pairs.)
+        if len(a) == 0 or len(b) == 0:  # Arrow hands numpy arrays, not lists
+            return 0
+        # token -> small int so slice comparisons are int comparisons
+        vocab: dict = {}
+
+        def enc(seq):
+            out = []
+            for t in seq:
+                v = vocab.get(t)
+                if v is None:
+                    v = len(vocab)
+                    vocab[t] = v
+                out.append(v)
+            return out
+
+        ea, eb = enc(a), enc(b)
+        MOD = (1 << 61) - 1
+        BASE = 1_000_003
+
+        def grams(seq, L):
+            # rolling polynomial hash of every L-token window
+            pw = pow(BASE, L, MOD)
+            h = 0
+            for i, v in enumerate(seq):
+                h = (h * BASE + v + 1) % MOD
+                if i >= L:
+                    h = (h - (seq[i - L] + 1) * pw) % MOD
+                if i >= L - 1:
+                    yield h, i - L + 1
+
+        def has_common(L: int) -> bool:
+            table: dict = {}
+            for h, i in grams(ea, L):
+                table.setdefault(h, []).append(i)
+            for h, j in grams(eb, L):
+                for i in table.get(h, ()):
+                    if ea[i : i + L] == eb[j : j + L]:  # collision guard
+                        return True
+            return False
+
+        lo, hi = 0, min(len(ea), len(eb))
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if has_common(mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()

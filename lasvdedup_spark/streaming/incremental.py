@@ -17,9 +17,14 @@ self-join against the growing index and the index append). Exactly-once:
 foreachBatch epochs are idempotent via batch_id-suffixed output dirs +
 Spark's checkpointLocation tracking of committed epochs.
 
-At scale the index is an Iceberg table bucketed by band key so the
-stream-side join prunes to matching buckets; here it is parquet
-partitioned the same way (one IO seam, mirroring pipeline.py).
+The index is PARTITIONED BY part = pmod(bucket, N_INDEX_PARTS) (on Iceberg:
+``bucket(N, band_key)``), so the per-batch join against it reads only the
+partitions whose band buckets actually occur in the micro-batch — the scan
+per batch is bounded by the batch's bucket spread, not by the total index
+size. Index presence is probed THROUGH Spark (read + AnalysisException),
+never via driver-local os.listdir: the index lives on whatever filesystem
+Spark writes to (HDFS/S3 at scale), where a local listdir would silently
+report "absent" and drop every cross-batch pair.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from lasvdedup_spark.config import DedupConfig
 from lasvdedup_spark.functions.hashing import sig_jaccard_expr
@@ -36,6 +42,29 @@ from lasvdedup_spark.operators.minhash import signatures
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
+
+# index partition fan-out; at 10^12 docs this would be an Iceberg
+# bucket(4096, band_key) spec — the pruning logic is identical
+N_INDEX_PARTS = 64
+
+
+def _with_part(bands: DataFrame) -> DataFrame:
+    return bands.withColumn("part", F.pmod(F.col("bucket"), F.lit(N_INDEX_PARTS)))
+
+
+def read_index_pruned(
+    spark: SparkSession, index_dir: str, parts: list[int] | None
+) -> DataFrame | None:
+    """The accumulated band index, pruned to the given part values (None =
+    full read). Returns None when no index exists yet — detected via Spark
+    (AnalysisException on read), valid on any Hadoop filesystem."""
+    try:
+        idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    except AnalysisException:
+        return None
+    if parts is not None:
+        idx = idx.where(F.col("part").isin(parts))
+    return idx
 
 
 def sig_bands(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
@@ -89,7 +118,7 @@ def incremental_dedup_query(
 
     def process_batch(batch_bands: DataFrame, batch_id: int) -> None:
         s = batch_bands.sparkSession
-        batch_bands = batch_bands.localCheckpoint(eager=True)
+        batch_bands = _with_part(batch_bands).localCheckpoint(eager=True)
 
         new = batch_bands.select(
             F.col("id").alias("id_new"), F.col("sig").alias("sig_new"), "bucket"
@@ -102,13 +131,16 @@ def incremental_dedup_query(
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sig_a", "sig_b")
         )
-        # 2) new-vs-index (earlier epochs' bands)
+        # 2) new-vs-index: read ONLY the index partitions whose band parts
+        # occur in this batch (<= N_INDEX_PARTS values; the batch is already
+        # checkpointed, so this census is a cheap cached scan)
+        parts = [
+            r["part"] for r in batch_bands.select("part").distinct().collect()
+        ]
         pairs = within
-        index_has_data = os.path.isdir(index_dir) and any(
-            e.startswith("batch_id=") for e in os.listdir(index_dir)
-        )
-        if index_has_data:
-            old = s.read.parquet(index_dir).select(
+        old_idx = read_index_pruned(s, index_dir, parts)
+        if old_idx is not None:
+            old = old_idx.select(
                 F.col("id").alias("id_old"), F.col("sig").alias("sig_old"), "bucket"
             )
             cross = (
@@ -131,7 +163,10 @@ def incremental_dedup_query(
         verified.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={batch_id}")
         )
-        batch_bands.write.mode("overwrite").parquet(
+        # index rows land under batch_id=N/part=P: the batch_id level keeps
+        # epoch replays idempotent, the part level is what the next batch's
+        # pruned read needs
+        batch_bands.write.mode("overwrite").partitionBy("part").parquet(
             os.path.join(index_dir, f"batch_id={batch_id}")
         )
 

@@ -1,0 +1,122 @@
+"""ANN multi-table banding: recall vs brute force, multi-table semantics,
+bucket-cap determinism. (Single-table parity vs DuckDB lives in
+test_oracle_parity.py; these tests pin the SCALE path's quality.)"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.operators.ann import (
+    ann_buckets_multi,
+    ann_capped_buckets,
+    cosine_dup_pairs,
+    knn_bruteforce,
+    plane_tables,
+)
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 quasi-orthogonal base vectors + 60 perturbed near-dups
+    (cosine ~0.98 to their base). Deterministic seed."""
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((200, DIM))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for j in range(60):
+        src = j * 3  # every 3rd base vector gets a near-dup
+        noise = rng.standard_normal(DIM)
+        noise *= 0.2 * np.linalg.norm(base[src]) / np.linalg.norm(noise)
+        rows.append((1000 + j, (base[src] + noise).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def _brute_pairs(spark, vectors, threshold):
+    v = vectors.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    from lasvdedup_spark.operators.ann import cosine_expr
+
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def test_cosine_dup_recall_vs_bruteforce(spark, planted):
+    """The multi-table scale path must recover >= 0.95 of all true pairs at
+    cosine >= 0.9 — the config (8 tables x 6 planes) is one where a SINGLE
+    6-plane table would both miss pairs (p ~ 0.67 per pair) and degrade to
+    ~n^2/64 within-bucket candidates at scale."""
+    truth = {
+        (r["id_a"], r["id_b"]) for r in _brute_pairs(spark, planted, 0.9).collect()
+    }
+    assert len(truth) >= 50  # the planted near-dups are really there
+    tables = plane_tables(8, 6, DIM)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(planted, tables, threshold=0.9).collect()
+    }
+    assert got <= truth  # verify step guarantees precision 1.0
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(got)}/{len(truth)})"
+
+
+def test_multi_table_is_union_of_tables(spark, planted):
+    """Pairs from the multi-table path == union over single-table runs."""
+    tables = plane_tables(3, 4, DIM)
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(planted, tables, threshold=0.5).collect()
+    }
+    single = set()
+    for t in tables:
+        single |= {
+            (r["id_a"], r["id_b"])
+            for r in cosine_dup_pairs(planted, t, threshold=0.5).collect()
+        }
+    assert multi == single
+
+
+def test_bucket_ids_disjoint_across_tables(spark, planted):
+    tables = plane_tables(3, 4, DIM)
+    b = ann_buckets_multi(planted, tables)
+    # every vector appears once per table; buckets of table t live in
+    # [t*2^P, (t+1)*2^P)
+    n = planted.count()
+    assert b.count() == 3 * n
+    spans = (
+        b.withColumn("tbl", (F.col("bucket") / (1 << 4)).cast("int"))
+        .groupBy("tbl")
+        .count()
+        .collect()
+    )
+    assert {r["tbl"] for r in spans} == {0, 1, 2}
+    assert all(r["count"] == n for r in spans)
+
+
+def test_capped_buckets_deterministic_and_bounded(spark, planted):
+    tables = plane_tables(2, 2, DIM)  # tiny buckets -> guaranteed overflow
+    b = ann_buckets_multi(planted, tables)
+    capped = ann_capped_buckets(b, 10)
+    sizes = capped.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 10
+    one = sorted(map(tuple, capped.collect()))
+    two = sorted(map(tuple, ann_capped_buckets(b.repartition(7), 10).collect()))
+    assert one == two  # keep-lowest-ids rule is partitioning-independent
+
+
+def test_knn_bruteforce_exact_topk(spark, planted):
+    q = planted.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    t = planted.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("tid"), F.col("embedding").alias("tvec")
+    )
+    top = knn_bruteforce(q, t, 3).orderBy("pos").collect()
+    assert len(top) == 3
+    assert top[0]["tid"] == 1000  # vec 0's planted near-dup is its 1-NN
+    assert top[0]["score"] > 0.9

@@ -59,6 +59,45 @@ def test_fingerprint_ignores_salt_knobs():
     assert DedupConfig(jaccard_threshold=0.6).fingerprint() != a
 
 
+def test_exact_star_edges_linear_in_cluster_size(spark):
+    """A 10k-copy boilerplate cluster must yield O(m) star edges (one per
+    duplicate member, all anchored at the min id), never the O(m^2)
+    all-pairs enumeration — and the components those edges induce are the
+    same."""
+    from lasvdedup_spark.operators.exact import exact_dup_pairs
+
+    m = 10_000
+    pages = spark.range(m).select(
+        F.format_string("u/%05d", F.col("id")).alias("url"),
+        F.lit("identical boilerplate login page text").alias("text"),
+    )
+    pairs = exact_dup_pairs(pages)
+    assert pairs.count() == m - 1  # star, not C(m,2) ~ 5e7
+    rows = pairs.select(F.min("id_a"), F.max("id_a")).collect()[0]
+    assert rows[0] == rows[1] == "u/00000"  # all anchored at cluster min
+
+
+def test_substring_join_salted_equals_plain(spark):
+    """A 200-copy boilerplate span (one mega L-gram bucket) must produce the
+    identical pair set on the salted path as on the plain join."""
+    from lasvdedup_spark.operators.substring import substring_dup_pairs
+
+    boiler = "terms of service apply to all users of this site always"
+    rows = [(f"u/b{i:03d}", f"page {i} intro {boiler} footer {i}") for i in range(200)]
+    rows += [(f"u/d{i}", f"distinct {i} " + " ".join(f"w{i}x{j}" for j in range(20)))
+             for i in range(10)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    cfg_plain = DedupConfig(substring_min_tokens=8, salt_buckets=1)
+    cfg_salted = DedupConfig(substring_min_tokens=8, salt_buckets=4, skew_bucket_cutoff=16)
+    plain = {(r["id_a"], r["id_b"], r["n_shared_grams"])
+             for r in substring_dup_pairs(pages, cfg_plain).collect()}
+    salted = {(r["id_a"], r["id_b"], r["n_shared_grams"])
+              for r in substring_dup_pairs(pages, cfg_salted).collect()}
+    assert plain == salted
+    boiler_pairs = {p for p in plain if p[0].startswith("u/b") and p[1].startswith("u/b")}
+    assert len(boiler_pairs) == 200 * 199 // 2
+
+
 def test_xxhash_family_end_to_end(spark):
     """The production hash family (bench path: numeric band keys, no oracle)
     must find the same kinds of duplicates as the portable md5 family."""

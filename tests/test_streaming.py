@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from lasvdedup_spark.config import DedupConfig
 from lasvdedup_spark.streaming.incremental import (
+    N_INDEX_PARTS,
     incremental_dedup_query,
+    read_index_pruned,
     read_pairs,
     sig_bands,
 )
@@ -77,6 +79,36 @@ def test_incremental_dedup_finds_cross_batch_pairs(spark, tmp_path):
     pairs2 = {(r["id_a"], r["id_b"]) for r in read_pairs(spark, work_dir).collect()}
     assert ("u/a1", "u/a4") in pairs2 and ("u/a2", "u/a4") in pairs2
     assert pairs <= pairs2
+
+    # --- index layout + pruning: the per-batch join must NOT rescan the
+    # whole accumulated index. The index is partitioned by
+    # part = pmod(bucket, N_INDEX_PARTS); a pruned read pushes the part
+    # filter into the file listing (PartitionFilters), so each batch reads
+    # only the partitions its own buckets map to.
+    index_dir = os.path.join(work_dir, "index")
+    full = read_index_pruned(spark, index_dir, None)
+    assert full is not None and "part" in full.columns
+    some_part = full.select("part").first()["part"]
+    pruned = read_index_pruned(spark, index_dir, [int(some_part)])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part#" in plan.split("PartitionFilters")[1][:200]
+
+    def files_read(df) -> int:
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numFiles"):
+                total += m.apply("numFiles").value()
+        return total
+
+    # pruned scan must physically touch strictly fewer files than the full
+    # index (every batch wrote several part directories)
+    assert files_read(pruned) < files_read(full)
+    # probe-through-Spark: a missing index is None, not a crash and not a
+    # silently-empty join (os.listdir would lie on non-local filesystems)
+    assert read_index_pruned(spark, str(tmp_path / "nope"), None) is None
 
 
 def test_sig_bands_is_streaming_composable(spark, tmp_path):

@@ -90,6 +90,29 @@ def test_span_lengths_exact(spark):
     assert got[0]["span_len"] == 4  # alpha beta gamma delta
 
 
+def test_span_lengths_long_docs_bounded(spark):
+    """Two 5k-token documents sharing a 512-token span: the rolling-hash
+    binary-search kernel must return the exact span without materializing
+    O(n^2) suffix keys (the old sorted-suffix kernel OOM'd/stalled here)."""
+    import time
+
+    cfg = DedupConfig(substring_min_tokens=16)
+    shared = " ".join(f"s{i}" for i in range(512))
+    a = " ".join(f"a{i}" for i in range(2500)) + " " + shared + " " + " ".join(
+        f"aa{i}" for i in range(2000)
+    )
+    b = " ".join(f"b{i}" for i in range(1000)) + " " + shared + " " + " ".join(
+        f"bb{i}" for i in range(3500)
+    )
+    df = spark.createDataFrame([("a", a), ("b", b)], ["url", "text"])
+    pairs = substring_dup_pairs(df, cfg)
+    t0 = time.time()
+    got = span_lengths(df, pairs).collect()
+    assert time.time() - t0 < 60
+    assert len(got) == 1
+    assert got[0]["span_len"] == 512
+
+
 def test_extract_text_byte_identical(spark, docs):
     """BASELINE.json per-row invariant: extract_text(html) == text,
     byte-identical per url, via BOTH the Arrow UDF and the SQL twin."""
