@@ -82,6 +82,10 @@ def child(cpus: int) -> None:
     # timed window — both parallelism levels see the identical input.
     pages = pages.repartition(96, "url").localCheckpoint(eager=True)
     n_docs = pages.count()
+    # url is the identity key of every downstream stage; a colliding synth
+    # id scheme would silently contaminate all of them (ADVICE r01)
+    n_urls = pages.select("url").distinct().count()
+    assert n_urls == n_docs, f"synth corpus has duplicate urls: {n_urls} != {n_docs}"
 
     t0 = time.time()
     out = dedup(spark, pages, cfg)

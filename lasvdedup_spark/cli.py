@@ -6,13 +6,19 @@ thin argparse wrapper over ``lasvdedup_spark.pipeline.dedup``; every option
 maps onto a DedupConfig field with the same precedence (defaults < YAML <
 explicit flags, config.py:from_yaml).
 
-Cluster launch shape (north rule):
+Cluster launch shape (north rule; spark-submit takes an application FILE,
+so ship the package via --py-files and point it at a thin launcher):
 
-    spark-submit --py-files lasvdedup_spark.zip -m lasvdedup_spark.cli \\
+    spark-submit --py-files lasvdedup_spark.zip run_dedup.py \\
         --input ...pages_parquet_or_table --output ...dir \\
         --config conf.yaml --checkpoint-dir ...ckpt
 
-In-sandbox the same main() runs on local[N] via --master.
+where run_dedup.py is two lines:
+    from lasvdedup_spark.cli import main
+    main()
+
+Locally the module runs directly: ``python -m lasvdedup_spark.cli ...``
+(same main(), local[N] via --master).
 """
 
 from __future__ import annotations

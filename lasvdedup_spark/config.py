@@ -72,6 +72,13 @@ class DedupConfig:
     simhash_hamming: int = 3           # near-identical tier (60-bit simhash)
     substring_min_tokens: int = 16     # long-shared-span tier (token L-gram)
 
+    # --- per-language threshold overrides ---
+    # Web analog of the reference's segment-specific THRESHOLDS nesting
+    # (config_setup.py:154-184: per-segment PWD replaces the global one):
+    # {lang: jaccard_threshold}. An edge must clear the threshold of BOTH
+    # endpoints' languages; unlisted languages use jaccard_threshold.
+    lang_thresholds: Optional[dict] = None
+
     # --- classification cascade (reference analogs) ---
     clade_size: int = 8                # config.yaml:34 CLADE_SIZE
     z_threshold: float = 2.0           # config.yaml Z_THRESHOLD (outlier z)
@@ -87,7 +94,13 @@ class DedupConfig:
     shuffle_partitions: int = 32
 
     # --- hashing family ---
-    hash_family: str = "md5"      # "md5" (portable / oracle-checkable) | "xxhash64" (prod fast path)
+    # Production default is xxhash64: a native Spark expression that scales
+    # with executor threads. The md5 family exists for DuckDB-oracle
+    # portability ONLY — JDK MessageDigest serializes on the JCA provider
+    # lock, so md5 map stages do not scale inside one JVM (measured flat
+    # ~20s at 8 AND 32 cores; see BENCH.md). Oracle-parity queries pin
+    # hash_family="md5" themselves (entry_queries.CFG).
+    hash_family: str = "xxhash64"  # "xxhash64" (prod) | "md5" (oracle-portable)
 
     # --- checkpointing ---
     checkpoint_dir: Optional[str] = None   # None = no stage checkpoints

@@ -30,7 +30,10 @@ from lasvdedup_spark.functions.hashing import (
 )
 from lasvdedup_spark.functions.text import shingles_expr, tokens_expr
 
-CFG = DedupConfig()  # the shared shingle/signature config for all queries
+# The shared shingle/signature config for all oracle-checked queries: pins
+# the md5-prefix family (bit-identical in DuckDB). Production/bench paths
+# use the DedupConfig default (xxhash64).
+CFG = DedupConfig(hash_family="md5")
 
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragments (mirror of functions/hashing.py + functions/text.py)

@@ -87,19 +87,20 @@ class StageRunner:
         return out
 
     def _write_partition_lineage(self, stage: str, df: DataFrame) -> None:
-        """Per-partition lineage rows (north rule): how many rows each
-        partition of the persisted stage holds, keyed by stage + config
-        fingerprint. This is what makes skew VISIBLE after the fact — a
-        stage whose max/mean partition ratio blows up is the one to salt —
-        and it documents exactly which partition of which checkpoint any
-        downstream row came from."""
+        """Per-partition lineage rows (north rule): per OUTPUT FILE row
+        counts of the persisted stage, keyed by stage + config fingerprint.
+        Each parquet file was written by exactly one producer task, so the
+        written files' row counts expose the PRODUCER's partition skew — a
+        stage whose max/mean file-row ratio blows up is the one to salt.
+        (spark_partition_id() over the re-read frame would instead reflect
+        the reader's ~128MB splits, hiding the writer's skew.)"""
         pl = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            df.groupBy(F.input_file_name().alias("output_file"))
             .count()
             .select(
                 F.lit(stage).alias("stage"),
                 F.lit(self.cfg.fingerprint()).alias("config_fingerprint"),
-                "partition_id",
+                "output_file",
                 F.col("count").alias("rows"),
                 F.lit(float(time.time())).alias("logged_at"),
             )
@@ -119,11 +120,27 @@ class StageRunner:
         mdf.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
 
 
+def validate_pages_schema(
+    pages: DataFrame, required: tuple[str, ...]
+) -> None:
+    """Fail-fast input validation (reference io_utils.py:39-42 raises
+    ValueError on missing table columns before any work starts; without
+    this Spark fails lazily mid-job with an AnalysisException after
+    upstream stages already ran)."""
+    missing = [c for c in required if c not in pages.columns]
+    if missing:
+        raise ValueError(
+            f"input pages table is missing required column(s) {missing}; "
+            f"has {pages.columns}"
+        )
+
+
 def dedup(
     spark: SparkSession,
     pages: DataFrame,
     cfg: DedupConfig | None = None,
     tiers: tuple[str, ...] = ("minhash",),
+    quality_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Public API: pages -> classifications DataFrame (lazy unless
     checkpointing). The analog of the reference's importable
@@ -134,19 +151,42 @@ def dedup(
     generators feed the shared connected-components + classification stages.
     "exact" edges are implied by "minhash" (identical text ⇒ identical
     signature ⇒ jaccard 1.0), so the default single tier is complete.
+
+    quality_cols: extra page columns ranked DESCENDING after
+    dist-to-target when selecting each cluster's representative — the
+    reference's configurable SELECTION_COLUMNS (io_utils.py:48-55,
+    config.yaml:27-30; e.g. fetch quality / mapped-read analogs).
+
+    cfg.lang_thresholds applies per-language duplicate thresholds
+    (reference's segment-specific THRESHOLDS overrides,
+    config_setup.py:154-184): an edge must clear the threshold of BOTH
+    endpoints' languages (greatest), unlisted languages use the global
+    jaccard_threshold. Candidate verification runs at the floor (min) of
+    all thresholds so lower-than-global languages lose no pairs.
     """
     from lasvdedup_spark.operators import classify as C
     from lasvdedup_spark.operators import components, exact, minhash, simhash, substring
 
     cfg = cfg or DedupConfig()
+    lang_cols = ("lang",) if cfg.lang_thresholds else ()
+    validate_pages_schema(pages, ("url", "text", *quality_cols, *lang_cols))
     r = StageRunner(spark, cfg)
 
     narrow = r.stage(
         "narrow",
         lambda: pages.select(
-            "url", "text", F.length("text").alias("n_chars")
+            "url", "text", F.length("text").alias("n_chars"),
+            *quality_cols, *lang_cols,
         ),
     )
+
+    if cfg.lang_thresholds:
+        # verify at the floor; the per-lang refinement filter runs on the
+        # merged edge set below
+        floor = min(cfg.jaccard_threshold, *cfg.lang_thresholds.values())
+        cfg_verify = cfg.with_overrides(jaccard_threshold=floor)
+    else:
+        cfg_verify = cfg
 
     edge_frames = []
     if "exact" in tiers:
@@ -165,7 +205,7 @@ def dedup(
         e = r.stage(
             "pairs",
             lambda: minhash.verified_pairs(
-                minhash.candidate_pairs(bands, cfg), sigs, cfg
+                minhash.candidate_pairs(bands, cfg), sigs, cfg_verify
             ),
         )
         edge_frames.append(e.select("id_a", "id_b", "jaccard"))
@@ -192,11 +232,33 @@ def dedup(
     for f in edge_frames[1:]:
         all_edges = all_edges.unionByName(f)
     # same pair from several tiers: keep max similarity
-    edges = r.stage(
-        "edges",
-        lambda: all_edges.groupBy("id_a", "id_b").agg(F.max("jaccard").alias("jaccard")),
-        heavy=True,
-    )
+    merged = all_edges.groupBy("id_a", "id_b").agg(F.max("jaccard").alias("jaccard"))
+
+    if cfg.lang_thresholds:
+        # per-language refinement: an edge stands iff it clears BOTH
+        # endpoints' language thresholds (segment-specific THRESHOLDS,
+        # reference config_setup.py:154-184). The lang lookup is a narrow
+        # (url, threshold) projection — broadcastable when small, and the
+        # join keys are the same ids the edges already shuffle on.
+        thr_map = F.create_map(
+            *[F.lit(x) for kv in cfg.lang_thresholds.items() for x in kv]
+        )
+        thr = F.coalesce(
+            thr_map[F.col("lang")], F.lit(cfg.jaccard_threshold)
+        ).alias("_thr")
+        langs = narrow.select(F.col("url"), thr)
+        la = langs.select(F.col("url").alias("id_a"), F.col("_thr").alias("_thr_a"))
+        lb = langs.select(F.col("url").alias("id_b"), F.col("_thr").alias("_thr_b"))
+        refined = (
+            merged.join(la, "id_a")
+            .join(lb, "id_b")
+            .where(F.col("jaccard") >= F.greatest("_thr_a", "_thr_b"))
+            .select("id_a", "id_b", "jaccard")
+        )
+    else:
+        refined = merged
+
+    edges = r.stage("edges", lambda: refined, heavy=True)
 
     assignments = r.stage(
         "components",
@@ -204,12 +266,12 @@ def dedup(
         heavy=True,
     )
 
-    stats = narrow.select(F.col("url").alias("id"), "n_chars")
+    stats = narrow.select(F.col("url").alias("id"), "n_chars", *quality_cols)
     out = r.stage(
         "classifications",
-        lambda: C.classify(assignments, edges, stats, cfg).withColumnRenamed(
-            "id", "url"
-        ).orderBy("url"),
+        lambda: C.classify(
+            assignments, edges, stats, cfg, quality_cols=quality_cols
+        ).withColumnRenamed("id", "url").orderBy("url"),
     )
     r.write_metrics()
     return out

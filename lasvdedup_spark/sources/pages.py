@@ -107,8 +107,13 @@ def synth_pages_with_dups(
         )
     if expand > 1:
         reps = spark.range(expand).select(F.col("id").alias("rep"))
+        # Stride must exceed the LARGEST duplicate-injection offset below
+        # (+400M for chain_c): with the old 10M stride and expand > 10, an
+        # injected copy of replica r collided with the base doc_id (hence
+        # url) of replica r+10/20/30/40, silently contaminating everything
+        # keyed by url in the scaling corpus.
         docs = docs.crossJoin(reps).withColumn(
-            "doc_id", F.col("doc_id") + F.col("rep") * 10_000_000
+            "doc_id", F.col("doc_id") + F.col("rep") * 1_000_000_000
         ).withColumn(
             # Replicas must be genuinely DISTINCT documents, not near-dups of
             # each other: replacing every 3rd token with a replica marker

@@ -72,4 +72,4 @@ def test_per_partition_lineage_written(spark, sf_dir, tmp_path):
     # lineage row counts must reconcile with the stage's persisted total
     sig_rows = lineage.where(lineage.stage == "signatures").groupBy().sum("rows").collect()[0][0]
     assert sig_rows == spark.read.parquet(os.path.join(root, "signatures")).count()
-    assert {"stage", "config_fingerprint", "partition_id", "rows", "logged_at"} == set(lineage.columns)
+    assert {"stage", "config_fingerprint", "output_file", "rows", "logged_at"} == set(lineage.columns)

@@ -24,7 +24,8 @@ TEXTS = [
 
 @pytest.fixture(scope="module")
 def cfg():
-    return DedupConfig(num_perms=8, lsh_bands=4, lsh_rows=2)
+    # md5 pinned: this suite exists to prove the oracle-portable family
+    return DedupConfig(num_perms=8, lsh_bands=4, lsh_rows=2, hash_family="md5")
 
 
 def test_portable_hash60_matches_duckdb(spark):

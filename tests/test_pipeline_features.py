@@ -1,0 +1,134 @@
+"""Round-2 pipeline surface: fail-fast schema validation, quality-column
+representative selection, per-language thresholds, verdict-partitioned
+output + FigTree-analog view (reference io_utils.py:39-55,111-169;
+config_setup.py:154-184)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import DedupConfig
+from lasvdedup_spark.pipeline import dedup, validate_pages_schema
+from lasvdedup_spark.sinks import figtree_view, write_classifications
+
+TEXT = "the quick brown fox jumps over the lazy dog again and again every day"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string, fetch_score double"
+    )
+
+
+def test_missing_column_fails_fast(spark):
+    pages = spark.createDataFrame([("u1",)], "url string")
+    with pytest.raises(ValueError, match="missing required column"):
+        dedup(spark, pages, DedupConfig())
+    with pytest.raises(ValueError, match="fetch_score"):
+        validate_pages_schema(
+            spark.createDataFrame([("u", "t")], "url string, text string"),
+            ("url", "text", "fetch_score"),
+        )
+
+
+def test_quality_column_breaks_rank_ties(spark):
+    """Two identical-length duplicates: the configured quality column
+    (DESC, reference SELECTION_COLUMNS io_utils.py:48-55) must decide the
+    representative, overriding the id tiebreak."""
+    rows = [
+        ("u/a", None, None, TEXT, "en", 1.0),
+        ("u/b", None, None, TEXT, "en", 9.0),  # same text+length, better quality
+    ]
+    out = {
+        r["url"]: r
+        for r in dedup(
+            spark, _pages(spark, rows), DedupConfig(), quality_cols=("fetch_score",)
+        ).collect()
+    }
+    assert out["u/b"]["classification"] == "good"   # quality wins
+    assert out["u/a"]["classification"] == "bad"
+    # without the quality column the id tiebreak picks u/a instead
+    out2 = {
+        r["url"]: r
+        for r in dedup(spark, _pages(spark, rows), DedupConfig()).collect()
+    }
+    assert out2["u/a"]["classification"] == "good"
+
+
+def test_lang_thresholds_override_global(spark):
+    """A near-dup pair whose signature jaccard sits between the per-lang
+    thresholds: duplicates in the lax language, distinct in the strict one.
+    Same text content in both languages -> identical jaccard."""
+    # distinct stems per language (identical texts across langs would link
+    # the pairs through jaccard-1.0 cross-language edges); drop 1 in 12
+    # tokens: each drop kills ~4 of the 4-shingles, leaving a moderate
+    # shingle jaccard (~0.5-0.6) to sit between the strict/lax thresholds
+    base_en = ("word%d " * 80) % tuple(range(80))
+    base_de = ("wort%d " * 80) % tuple(range(80))
+    var_en = " ".join(t for i, t in enumerate(base_en.split()) if i % 12 != 0)
+    var_de = " ".join(t for i, t in enumerate(base_de.split()) if i % 12 != 0)
+    rows = [
+        ("u/en1", None, None, base_en, "en", 0.0),
+        ("u/en2", None, None, var_en, "en", 0.0),
+        ("u/de1", None, None, base_de, "de", 0.0),
+        ("u/de2", None, None, var_de, "de", 0.0),
+    ]
+    pages = _pages(spark, rows)
+    cfg0 = DedupConfig()
+    j_en = _pair_jaccard(spark, pages, cfg0, "u/en1", "u/en2")
+    j_de = _pair_jaccard(spark, pages, cfg0, "u/de1", "u/de2")
+    assert 0.15 < min(j_en, j_de) and max(j_en, j_de) < 0.85, (j_en, j_de)
+    lax, strict = min(j_en, j_de) - 0.02, max(j_en, j_de) + 0.02
+    cfg = DedupConfig(
+        jaccard_threshold=strict, lang_thresholds={"en": lax, "de": strict}
+    )
+    out = {r["url"]: r for r in dedup(spark, pages, cfg).collect()}
+    assert out["u/en1"]["component"] == out["u/en2"]["component"]  # lax lang: dup
+    assert out["u/de1"]["component"] != out["u/de2"]["component"]  # strict: kept apart
+    assert out["u/de1"]["decision_category"] == "SingleSequence"
+
+
+def _pair_jaccard(spark, pages, cfg, id_a, id_b) -> float:
+    from lasvdedup_spark.functions.hashing import sig_jaccard_expr
+    from lasvdedup_spark.operators.minhash import signatures
+
+    sigs = signatures(pages, cfg)
+    a = sigs.where(F.col("id") == id_a).select(F.col("sig").alias("sig_a"))
+    b = sigs.where(F.col("id") == id_b).select(F.col("sig").alias("sig_b"))
+    return a.crossJoin(b).select(sig_jaccard_expr().alias("j")).collect()[0]["j"]
+
+
+def test_partitioned_write_and_figtree_view(spark, tmp_path):
+    rows = [
+        ("u/a", None, None, TEXT, "en", 0.0),
+        ("u/b", None, None, TEXT, "en", 0.0),
+        ("u/c", None, None, "totally different unique content here", "en", 0.0),
+    ]
+    out = dedup(spark, _pages(spark, rows), DedupConfig())
+    dest = str(tmp_path / "cls")
+    write_classifications(out, path=dest)
+    # physical layout: one directory per verdict (per-class dirs,
+    # io_utils.py:111-144) -> partition-pruned "kept docs" reads
+    parts = {d for d in os.listdir(dest) if d.startswith("classification=")}
+    assert parts == {"classification=good", "classification=bad"}
+    back = spark.read.parquet(dest)
+    assert back.count() == 3
+    good = back.where(F.col("classification") == "good")
+    assert set(good.inputFiles()) <= {
+        f for f in back.inputFiles() if "classification=good" in f
+    } or good.count() == 2  # pruning is an optimization; values are the contract
+
+    ft = figtree_view(out)
+    assert ft.columns == ["url", "classification", "decision_category", "sample_id"]
+    assert ft.count() == 3
+
+    with pytest.raises(ValueError):
+        write_classifications(out)  # neither sink given
+
+
+def test_lang_thresholds_affect_fingerprint():
+    a = DedupConfig().fingerprint()
+    b = DedupConfig(lang_thresholds={"en": 0.4}).fingerprint()
+    assert a != b  # semantic knob -> never reuses stale checkpoints
