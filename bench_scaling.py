@@ -22,8 +22,17 @@ Usage:
   python bench_scaling.py --child <cpus>   # internal: one measured run
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_EXPAND (default 100), SPARK_GRAFT_CONCAT (default 8),
+     SPARK_GRAFT_EXPAND (default 300), SPARK_GRAFT_CONCAT (default 8),
      SCALING_CPUS (default "4,16"), SCALING_REPEATS (default 2).
+
+Why EXPAND=300 (round 2): profiling split the e2e wall time into
+T(p) = S + P/p with S ~= 18s of parallelism-INDEPENDENT cost (AQE per-stage
+re-planning, job scheduling, the CC fixpoint's driver coordination — ~25
+shuffle stages each with fixed latency) and P the genuinely parallel work.
+At expand=100 (P ~= 260s) the fixed S caps efficiency at ~0.65 no matter
+how well the parallel fraction scales; a real 100-TB run is hours long, so
+the design point is the amortized regime. expand=300 triples P against the
+same S — measuring scaling where the job actually spends its time.
 """
 
 from __future__ import annotations
@@ -35,7 +44,7 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-EXPAND = int(os.environ.get("SPARK_GRAFT_EXPAND", "100"))
+EXPAND = int(os.environ.get("SPARK_GRAFT_EXPAND", "300"))
 # merge K base docs into one page: the driver corpus has ~55-token docs,
 # 10-100x below real web pages; concat restores the design-point CPU:shuffle
 # ratio (see sources/pages.py)

@@ -167,6 +167,26 @@ from documents
 """
 
 
+def q_exact_dup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-tier spanning edges (rep -> member): O(m) per cluster, the
+    scale-safe replacement for all-pairs enumeration inside a hash group
+    (same connected components)."""
+    from lasvdedup_spark.operators.exact import exact_dup_pairs
+
+    return exact_dup_pairs(_docs(spark, sf_dir), id_col="doc_id").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+O_EXACT_DUP_STAR_EDGES = """
+with c as (
+  select doc_id, min(doc_id) over (partition by md5(text)) as rep
+  from documents)
+select rep as id_a, doc_id as id_b from c where doc_id != rep
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -180,6 +200,35 @@ select doc_id,
        len({_TOKS}) as n_tokens,
        len(list_distinct({_TOKS})) as n_distinct_tokens
 from documents
+"""
+
+
+_BPE_PAT = "[a-z0-9]+|[^a-z0-9\\s]"  # word runs + isolated punctuation marks
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-style token counting: a BPE-ish regex (alnum runs +
+    standalone punctuation) rather than whitespace splitting — the second
+    tokenizer of the brief's text-analysis family. Pure JVM regex; the
+    oracle applies the identical class-based pattern."""
+    d = _docs(spark, sf_dir)
+    # function form, not an SQL string: Spark SQL string literals consume
+    # the backslash of \s, silently changing the pattern
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe_tokens"),
+    )
+
+
+O_BPE_TOKEN_COUNTS = f"""
+with t as (select doc_id,
+                  regexp_extract_all(lower(text), '{_BPE_PAT}') as toks
+           from documents)
+select doc_id, len(toks) as n_bpe_tokens,
+       len(list_distinct(toks)) as n_distinct_bpe_tokens
+from t
 """
 
 
@@ -998,7 +1047,9 @@ from b
 
 QUERIES = {
     "exact_dup_clusters": q_exact_dup_clusters,
+    "exact_dup_star_edges": q_exact_dup_star_edges,
     "token_counts": q_token_counts,
+    "bpe_token_counts": q_bpe_token_counts,
     "quality_scores": q_quality_scores,
     "rank_table": q_rank_table,
     "minhash_signatures": q_minhash_signatures,
@@ -1028,7 +1079,9 @@ QUERIES = {
 
 ORACLES = {
     "exact_dup_clusters": O_EXACT_DUP_CLUSTERS,
+    "exact_dup_star_edges": O_EXACT_DUP_STAR_EDGES,
     "token_counts": O_TOKEN_COUNTS,
+    "bpe_token_counts": O_BPE_TOKEN_COUNTS,
     "quality_scores": O_QUALITY_SCORES,
     "rank_table": O_RANK_TABLE,
     "minhash_signatures": O_MINHASH_SIGNATURES,

@@ -89,12 +89,16 @@ def minhash_sig_expr(cfg: DedupConfig, shingles_col: str = "shingles") -> Column
     """
     perms = ", ".join(f"struct({a}L as a, {b}L as b)" for a, b in cfg.permutations)
     h = shingle_hash_sql(cfg, "s")
+    # finish lambda narrows to array<int>: every value is < 2^31-1 (pmod by
+    # the Mersenne prime), and signatures are the widest column shuffled by
+    # the verify join — int32 halves that shuffle's bytes at zero cost.
     return F.expr(
         f"aggregate("
         f"  transform({shingles_col}, s -> {h}), "
         f"  array_repeat({MINHASH_PRIME}L, {cfg.num_perms}), "
         f"  (acc, h) -> zip_with(acc, array({perms}), "
-        f"    (m, p) -> least(m, pmod(p.a * h + p.b, {MINHASH_PRIME}))))"
+        f"    (m, p) -> least(m, pmod(p.a * h + p.b, {MINHASH_PRIME}))), "
+        f"  acc -> transform(acc, x -> cast(x as int)))"
     )
 
 
@@ -117,7 +121,8 @@ def minhash_sig_from_hashes_expr(
         f"aggregate({hashes_col}, "
         f"  array_repeat({MINHASH_PRIME}L, {cfg.num_perms}), "
         f"  (acc, h) -> zip_with(acc, array({perms}), "
-        f"    (m, p) -> least(m, pmod(p.a * h + p.b, {MINHASH_PRIME}))))"
+        f"    (m, p) -> least(m, pmod(p.a * h + p.b, {MINHASH_PRIME}))), "
+        f"  acc -> transform(acc, x -> cast(x as int)))"
     )
 
 

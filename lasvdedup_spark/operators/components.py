@@ -60,6 +60,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive (count, xor-hash) of the edge set. Run against a
+    LAZY localCheckpoint, this one action both materializes the checkpoint
+    (truncating lineage) and returns the convergence signature — one Spark
+    job per CC iteration instead of the two (eager checkpoint + collect)
+    the round-1 loop paid; the driver-coordinated fixpoint was the largest
+    serial cost in the scaling profile."""
     row = edges.agg(
         F.count("*").alias("n"),
         F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
@@ -85,7 +91,9 @@ def connected_components(
 
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint + checksum action = ONE job materializing the
+        # round (see _checksum); eager=True would spend a second job
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             break

@@ -228,11 +228,19 @@ def dedup(
     if not edge_frames:
         raise ValueError("at least one tier required")
 
-    all_edges = edge_frames[0]
-    for f in edge_frames[1:]:
-        all_edges = all_edges.unionByName(f)
-    # same pair from several tiers: keep max similarity
-    merged = all_edges.groupBy("id_a", "id_b").agg(F.max("jaccard").alias("jaccard"))
+    if len(edge_frames) == 1:
+        # single tier: every generator already emits distinct unordered
+        # pairs — the cross-tier merge would be a full extra shuffle of the
+        # edge set for nothing
+        merged = edge_frames[0]
+    else:
+        all_edges = edge_frames[0]
+        for f in edge_frames[1:]:
+            all_edges = all_edges.unionByName(f)
+        # same pair from several tiers: keep max similarity
+        merged = all_edges.groupBy("id_a", "id_b").agg(
+            F.max("jaccard").alias("jaccard")
+        )
 
     if cfg.lang_thresholds:
         # per-language refinement: an edge stands iff it clears BOTH
