@@ -545,6 +545,47 @@ group by 1, 2
 """
 
 
+def q_substring_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact longest-common-token-span per substring-candidate pair — the
+    engine's only UDTF-shaped kernel (applyInPandas rolling-hash LCS),
+    oracle-checked against a brute-force all-substrings SQL join."""
+    from lasvdedup_spark.operators.substring import span_lengths, substring_dup_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = substring_dup_pairs(docs, CFG, id_col="doc_id")
+    return span_lengths(docs, pairs, id_col="doc_id").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+O_SUBSTRING_SPAN_LENGTHS = f"""
+with t as (select cast(doc_id as varchar) as vid, {_TOKS} as toks from documents),
+g as (select vid, unnest([{_dk_h60('x')} for x in {_dk_shingles(CFG.substring_min_tokens)}]) as gh from t),
+pairs as (
+  -- ids pair/order as VARCHAR, mirroring the engine's string id space
+  select a.vid as id_a, b.vid as id_b
+  from g a join g b using (gh)
+  where a.vid < b.vid
+  group by 1, 2),
+subs as (
+  select t.vid, ls.l,
+         array_to_string(t.toks[ss.s+1:ss.s+ls.l], ' ') as sub
+  from t,
+  lateral (select unnest(range(1, len(t.toks)+1)) as l) ls,
+  lateral (select unnest(range(0, len(t.toks)-ls.l+1)) as s) ss)
+select cast(p.id_a as bigint) as id_a, cast(p.id_b as bigint) as id_b,
+       max(sa.l) as span_len
+from pairs p
+join subs sa on sa.vid = p.id_a
+join subs sb on sb.vid = p.id_b and sb.sub = sa.sub and sb.l = sa.l
+group by p.id_a, p.id_b
+"""
+
+
 def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-by-key with collected member list — the reference's
     sample_to_seqs map (sequence_grouping.py:13-49) as a DataFrame agg."""
@@ -1059,6 +1100,7 @@ QUERIES = {
     "classifications": q_classifications,
     "doc_fingerprints": q_doc_fingerprints,
     "substring_candidate_pairs": q_substring_candidate_pairs,
+    "substring_span_lengths": q_substring_span_lengths,
     "group_collect": q_group_collect,
     "all_below_threshold": q_all_below_threshold,
     "median_mad": q_median_mad,
@@ -1091,6 +1133,7 @@ ORACLES = {
     "classifications": _o_classifications_sql(),
     "doc_fingerprints": O_DOC_FINGERPRINTS,
     "substring_candidate_pairs": O_SUBSTRING_CANDIDATE_PAIRS,
+    "substring_span_lengths": O_SUBSTRING_SPAN_LENGTHS,
     "group_collect": O_GROUP_COLLECT,
     "all_below_threshold": O_ALL_BELOW_THRESHOLD,
     "median_mad": O_MEDIAN_MAD,
