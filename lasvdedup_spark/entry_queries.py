@@ -957,6 +957,54 @@ qualify pos <= 3
 """
 
 
+_IVF_K = 32      # centroids (seeded: lowest vec_ids)
+_IVF_PROBE = 2   # lists probed per query
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k: inverted centroid lists + n_probe
+    search — the second ANN index family next to hyperplane LSH. Centroids
+    derive deterministically from the data (lowest ids), so the oracle
+    rebuilds the identical index in SQL."""
+    from lasvdedup_spark.operators.ann import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), _IVF_K, k=3, n_probe=_IVF_PROBE)
+
+
+def O_IVF_TOPK() -> str:
+    return f"""
+with c as (
+  select vec_id as cid, embedding as cvec from embeddings
+  order by vec_id limit {_IVF_K}),
+a as (
+  select e.vec_id as id, c.cid,
+         ({_dk_dot('e.embedding', 'cvec')}) /
+         (sqrt({_dk_dot('e.embedding', 'e.embedding')}) * sqrt({_dk_dot('cvec', 'cvec')})) as score
+  from embeddings e cross join c),
+idx as (
+  select id as tid, cid from a
+  qualify row_number() over (partition by id order by score desc, cid asc) = 1),
+probes as (
+  select id as qid, cid from a
+  qualify row_number() over (partition by id order by score desc, cid asc) <= {_IVF_PROBE}),
+cand as (
+  select p.qid, i.tid from probes p join idx i using (cid)
+  where p.qid != i.tid),
+scored as (
+  select cand.qid, cand.tid,
+         ({_dk_dot('q.embedding', 't.embedding')}) /
+         (sqrt({_dk_dot('q.embedding', 'q.embedding')}) * sqrt({_dk_dot('t.embedding', 't.embedding')})) as score
+  from cand
+  join embeddings q on q.vec_id = cand.qid
+  join embeddings t on t.vec_id = cand.tid)
+select qid, tid,
+       row_number() over (partition by qid order by score desc, tid asc) as pos,
+       round(score, 6) as score
+from scored
+qualify pos <= 3
+"""
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (multi-table banded candidates,
     salted bucket join, cosine >= t); the vector analog of
@@ -1114,6 +1162,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_buckets": q_ann_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
     "binary_meta": q_binary_meta,
@@ -1147,6 +1196,7 @@ ORACLES = {
     "knn_bruteforce": O_KNN_BRUTEFORCE(),
     "ann_buckets": O_ANN_BUCKETS(),
     "ann_lsh_topk": O_ANN_LSH_TOPK(),
+    "ivf_topk": O_IVF_TOPK(),
     "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS(),
     "ngram_jaccard_verified": O_NGRAM_JACCARD_VERIFIED,
     "binary_meta": O_BINARY_META,

@@ -188,6 +188,94 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seed centroids: the n lowest-id vectors (a
+    TakeOrderedAndProject — no full sort). A production deployment would
+    Lloyd-iterate these seeds; the INDEX STRUCTURE (inverted lists, probe
+    search, broadcast centroid table) is the Spark-side deliverable, and
+    seeded centroids keep every downstream row oracle-checkable.
+    -> (cid, cvec)."""
+    return (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its n_probe nearest centroid lists (n_probe=1
+    = the inverted-file insert side; n_probe>1 = the query/probe side).
+    Centroids broadcast (tiny); the cross product is n_vectors x
+    n_centroids rows of narrow (id, cid, score) — the wide vector column
+    never shuffles. -> (id, cid, probe_rank)."""
+    c = centroids.select("cid", "cvec")
+    j = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).crossJoin(
+        F.broadcast(c)
+    )
+    scored = j.select(
+        "id", "cid", cosine_expr("vec", "cvec").alias("score")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= n_probe)
+        .select("id", "cid", F.col("probe_rank").cast("long").alias("probe_rank"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    n_centroids: int,
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k self-search: every vector is indexed in
+    its nearest centroid's list; each query probes its n_probe nearest
+    lists and scores only those candidates. The equi-join on cid replaces
+    the brute-force cross join — candidates/query ~ n_probe * n / K.
+    -> (qid, tid, pos, score)."""
+    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    index = ivf_assign(vectors, cents, 1, id_col, vec_col).select(
+        F.col("id").alias("tid"), "cid"
+    )
+    probes = ivf_assign(vectors, cents, n_probe, id_col, vec_col).select(
+        F.col("id").alias("qid"), "cid"
+    )
+    # no distinct needed: each target lives in exactly ONE list (index is
+    # n_probe=1), so a (qid, tid) pair can only arise via that single cid
+    cand = (
+        probes.join(index, "cid")
+        .where(F.col("qid") != F.col("tid"))
+        .select("qid", "tid")
+    )
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    scored = (
+        cand.join(v.select(F.col("id").alias("qid"), F.col("vec").alias("qvec")), "qid")
+        .join(v.select(F.col("id").alias("tid"), F.col("vec").alias("tvec")), "tid")
+        .withColumn("score", cosine_expr("qvec", "tvec"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("tid"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select("qid", "tid", F.col("pos").cast("long").alias("pos"),
+                F.round("score", 6).alias("score"))
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     planes: list[list[int]] | list[list[list[int]]],

@@ -63,6 +63,65 @@ def substring_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url",
     )
 
 
+def _lcs_tokens_kernel(a, b) -> int:
+    """Longest common token span via binary search on the span length with
+    a rolling-hash L-gram table + exact slice verification on hash hits:
+    O((n+m) log min(n,m)) time, O(n+m) memory. (The naive
+    sorted(range(n), key=lambda i: seq[i:]) suffix sort materializes O(n^2)
+    slice keys — quadratic MEMORY per pair, fatal for long documents even
+    though this kernel only ever sees candidate pairs.) Property-tested
+    against a naive DP oracle (tests/test_composition.py) and against a
+    brute-force all-substrings SQL join (substring_span_lengths oracle)."""
+    if len(a) == 0 or len(b) == 0:  # Arrow hands numpy arrays, not lists
+        return 0
+    # token -> small int so slice comparisons are int comparisons
+    vocab: dict = {}
+
+    def enc(seq):
+        out = []
+        for t in seq:
+            v = vocab.get(t)
+            if v is None:
+                v = len(vocab)
+                vocab[t] = v
+            out.append(v)
+        return out
+
+    ea, eb = enc(a), enc(b)
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def grams(seq, L):
+        # rolling polynomial hash of every L-token window
+        pw = pow(BASE, L, MOD)
+        h = 0
+        for i, v in enumerate(seq):
+            h = (h * BASE + v + 1) % MOD
+            if i >= L:
+                h = (h - (seq[i - L] + 1) * pw) % MOD
+            if i >= L - 1:
+                yield h, i - L + 1
+
+    def has_common(L: int) -> bool:
+        table: dict = {}
+        for h, i in grams(ea, L):
+            table.setdefault(h, []).append(i)
+        for h, j in grams(eb, L):
+            for i in table.get(h, ()):
+                if ea[i : i + L] == eb[j : j + L]:  # collision guard
+                    return True
+        return False
+
+    lo, hi = 0, min(len(ea), len(eb))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if has_common(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def span_lengths(pages: DataFrame, pairs: DataFrame, id_col: str = "url") -> DataFrame:
     """For each candidate pair, the exact longest common token-span length.
 
@@ -81,66 +140,11 @@ def span_lengths(pages: DataFrame, pairs: DataFrame, id_col: str = "url") -> Dat
         .withColumn("bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(64)))
     )
 
-    def _lcs_tokens(a: list, b: list) -> int:
-        # Longest common token span via binary search on the span length
-        # with a rolling-hash L-gram table + exact slice verification on
-        # hash hits: O((n+m) log min(n,m)) time, O(n+m) memory. (The naive
-        # sorted(range(n), key=lambda i: seq[i:]) suffix sort materializes
-        # O(n^2) slice keys — quadratic MEMORY per pair, fatal for long
-        # documents even though this kernel only ever sees candidate pairs.)
-        if len(a) == 0 or len(b) == 0:  # Arrow hands numpy arrays, not lists
-            return 0
-        # token -> small int so slice comparisons are int comparisons
-        vocab: dict = {}
-
-        def enc(seq):
-            out = []
-            for t in seq:
-                v = vocab.get(t)
-                if v is None:
-                    v = len(vocab)
-                    vocab[t] = v
-                out.append(v)
-            return out
-
-        ea, eb = enc(a), enc(b)
-        MOD = (1 << 61) - 1
-        BASE = 1_000_003
-
-        def grams(seq, L):
-            # rolling polynomial hash of every L-token window
-            pw = pow(BASE, L, MOD)
-            h = 0
-            for i, v in enumerate(seq):
-                h = (h * BASE + v + 1) % MOD
-                if i >= L:
-                    h = (h - (seq[i - L] + 1) * pw) % MOD
-                if i >= L - 1:
-                    yield h, i - L + 1
-
-        def has_common(L: int) -> bool:
-            table: dict = {}
-            for h, i in grams(ea, L):
-                table.setdefault(h, []).append(i)
-            for h, j in grams(eb, L):
-                for i in table.get(h, ()):
-                    if ea[i : i + L] == eb[j : j + L]:  # collision guard
-                        return True
-            return False
-
-        lo, hi = 0, min(len(ea), len(eb))
-        while lo < hi:
-            mid = (lo + hi + 1) // 2
-            if has_common(mid):
-                lo = mid
-            else:
-                hi = mid - 1
-        return lo
-
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
         pdf["span_len"] = [
-            _lcs_tokens(ta, tb) for ta, tb in zip(pdf["toks_a"], pdf["toks_b"])
+            _lcs_tokens_kernel(ta, tb)
+            for ta, tb in zip(pdf["toks_a"], pdf["toks_b"])
         ]
         return pdf[["id_a", "id_b", "span_len"]]
 

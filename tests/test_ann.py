@@ -109,6 +109,29 @@ def test_capped_buckets_deterministic_and_bounded(spark, planted):
     assert one == two  # keep-lowest-ids rule is partitioning-independent
 
 
+def test_ivf_topk_finds_planted_neighbors(spark, planted):
+    """IVF probe search must place each planted near-dup (cosine ~0.98)
+    in its base vector's top-k: a near-identical vector lands in the same
+    centroid list with overwhelming probability, and n_probe=2 covers the
+    boundary cases. Recall measured against brute-force 1-NN."""
+    from lasvdedup_spark.operators.ann import ivf_topk
+
+    top = ivf_topk(planted, n_centroids=8, k=1, n_probe=2).collect()
+    by_q = {r["qid"]: r["tid"] for r in top}
+    hits = sum(1 for j in range(60) if by_q.get(1000 + j) == j * 3)
+    assert hits / 60 >= 0.9, f"IVF 1-NN recall {hits}/60"
+
+
+def test_ivf_assign_exactly_n_probe_lists(spark, planted):
+    from lasvdedup_spark.operators.ann import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(planted, 8)
+    assert cents.count() == 8
+    a = ivf_assign(planted, cents, n_probe=2)
+    per = a.groupBy("id").count().select(F.min("count"), F.max("count")).collect()[0]
+    assert per[0] == per[1] == 2
+
+
 def test_knn_bruteforce_exact_topk(spark, planted):
     q = planted.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

@@ -1,0 +1,108 @@
+"""Cross-family composition + kernel property tests.
+
+1. Embedding-cosine edges feed the SAME connected-components +
+   classification cascade as the text tiers (the docstring promise in
+   operators/ann.py, proven here): near-dup vectors cluster and get one
+   representative, outliers/categories behave identically to text edges.
+2. The rolling-hash LCS kernel is property-tested against a naive O(n*m)
+   dynamic-programming oracle on random token sequences.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lasvdedup_spark.config import DedupConfig
+from lasvdedup_spark.operators.ann import cosine_dup_pairs, plane_tables
+from lasvdedup_spark.operators.classify import classify
+from lasvdedup_spark.operators.components import assign_components
+
+DIM = 16
+
+
+def test_embedding_edges_feed_cascade(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, DIM))
+    rows = [(f"v{i:02d}", base[i].tolist()) for i in range(30)]
+    # vectors v00..v02 get two near-copies each -> three 3-member clusters
+    k = 0
+    for src in range(3):
+        for _ in range(2):
+            noise = rng.standard_normal(DIM)
+            noise *= 0.1 * np.linalg.norm(base[src]) / np.linalg.norm(noise)
+            rows.append((f"w{k:02d}", (base[src] + noise).tolist()))
+            k += 1
+    vecs = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    edges = cosine_dup_pairs(
+        vecs, plane_tables(8, 4, DIM), threshold=0.9, id_col="vec_id"
+    ).select("id_a", "id_b", F.col("cosine").alias("jaccard"))
+    assigns = assign_components(
+        vecs, edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="vec_id",
+    )
+    # stats: vector norm plays the "length" role for rep selection
+    stats = vecs.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "cast(sqrt(aggregate(embedding, cast(0 as double),"
+            " (a, x) -> a + x * x)) * 100 as int)"
+        ).alias("n_chars"),
+    )
+    cfg = DedupConfig(target_length=100, strong_threshold=0.9)
+    out = {r["id"]: r for r in classify(assigns, edges, stats, cfg).collect()}
+
+    assert len(out) == 36
+    comps = {}
+    for i, r in out.items():
+        comps.setdefault(r["component"], []).append(i)
+    sizes = sorted(len(v) for v in comps.values())
+    assert sizes[-3:] == [3, 3, 3]  # the three planted clusters
+    for members in comps.values():
+        if len(members) == 1:
+            assert out[members[0]]["decision_category"] == "SingleSequence"
+        else:
+            reps = {out[m]["rep_id"] for m in members}
+            assert len(reps) == 1  # exactly one representative per cluster
+            kept = [m for m in members if out[m]["classification"] != "bad"]
+            assert len(kept) >= 1
+
+
+def _lcs_dp(a: list, b: list) -> int:
+    """Naive O(n*m) longest-common-substring DP oracle."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+@st.composite
+def token_pairs(draw):
+    alphabet = st.sampled_from(["a", "b", "c", "d"])
+    a = draw(st.lists(alphabet, min_size=0, max_size=40))
+    b = draw(st.lists(alphabet, min_size=0, max_size=40))
+    # sometimes plant a shared run so long spans are exercised
+    if draw(st.booleans()):
+        run = draw(st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=15))
+        ia = draw(st.integers(0, len(a)))
+        ib = draw(st.integers(0, len(b)))
+        a = a[:ia] + run + a[ia:]
+        b = b[:ib] + run + b[ib:]
+    return a, b
+
+
+@settings(max_examples=200, deadline=None)
+@given(token_pairs())
+def test_lcs_kernel_matches_dp_oracle(pair):
+    from lasvdedup_spark.operators.substring import _lcs_tokens_kernel
+
+    a, b = pair
+    assert _lcs_tokens_kernel(a, b) == _lcs_dp(a, b)
