@@ -1130,6 +1130,57 @@ from b
 """
 
 
+def q_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas media-decode plumbing end-to-end: Arrow binary
+    batches into the Python worker, typed narrow metadata out. The decode
+    itself is the declared deterministic stub (md5-derived dims/features —
+    no codecs in this container), which is exactly what makes the WHOLE
+    path oracle-checkable: the SQL twin recomputes the same features from
+    the same bytes."""
+    from lasvdedup_spark.operators.multimodal import decode_media
+
+    magic = F.expr(
+        f"element_at(array({_MAGICS}), cast(pmod(doc_id, 4) as int) + 1)"
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(F.concat(magic, F.col("text")), "UTF-8").alias("blob"),
+    )
+    out = decode_media(d, bin_col="blob", id_col="doc_id")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),  # decode emits id as 'url'
+        "content_type",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "feature0",
+        "feature1",
+    )
+
+
+O_DECODE_MEDIA = f"""
+with b as (
+  select doc_id,
+         [{_MAGICS}][(doc_id % 4)::INT + 1] as magic,
+         text
+  from documents),
+h as (
+  select doc_id, magic,
+         octet_length(encode(magic || text)) as n_bytes,
+         md5(magic || text) as hx
+  from b)
+select doc_id,
+       case magic {' '.join(f"when '{m}' then '{t}'" for m, t in _CTYPES.items())}
+            else 'application/octet-stream' end as content_type,
+       n_bytes,
+       16 + ('0x' || substr(hx, 1, 2))::BIGINT % 240 as width,
+       16 + ('0x' || substr(hx, 3, 2))::BIGINT % 240 as height,
+       round(('0x' || substr(hx, 5, 8))::BIGINT / 4294967296.0, 9) as feature0,
+       round(('0x' || substr(hx, 13, 8))::BIGINT / 4294967296.0, 9) as feature1
+from h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1166,6 +1217,7 @@ QUERIES = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
     "binary_meta": q_binary_meta,
+    "decode_media": q_decode_media,
 }
 
 ORACLES = {
@@ -1200,4 +1252,5 @@ ORACLES = {
     "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS(),
     "ngram_jaccard_verified": O_NGRAM_JACCARD_VERIFIED,
     "binary_meta": O_BINARY_META,
+    "decode_media": O_DECODE_MEDIA,
 }

@@ -106,3 +106,52 @@ def test_exact_dedup_is_one_shuffle_narrow_scan(docs):
     fmt = _formatted(df)
     scan = [l for l in fmt.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in scan and "text" in scan and "source" not in scan
+
+
+def test_exact_star_edges_have_no_join(docs):
+    """Star edges come from the window over the hash partition — NO join
+    node may appear (an all-pairs self-join here is the O(m^2) regression
+    this test exists to catch)."""
+    from lasvdedup_spark.operators.exact import exact_dup_pairs
+
+    plan = _plan(exact_dup_pairs(docs, id_col="doc_id"))
+    assert "Join" not in plan, plan
+
+
+def test_substring_join_is_salted_and_jvm_side(docs):
+    """The L-gram pair join must carry the same skew machinery as the band
+    join (salted union shape) and stay JVM-side."""
+    from lasvdedup_spark.operators.substring import substring_dup_pairs
+
+    df = substring_dup_pairs(docs.limit(50), CFG, id_col="doc_id")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Union" in plan          # plain + salted branches
+    assert "_salt" in plan          # the salted branch keys on (gh, _salt)
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_multi_table_jvm_side_no_cartesian(docs, spark, sf_dir):
+    from lasvdedup_spark.operators.ann import cosine_dup_pairs, plane_tables
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = cosine_dup_pairs(emb, plane_tables(2, 4, 64), threshold=0.5)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_ivf_centroids_broadcast_and_take_ordered(spark, sf_dir):
+    """Centroid selection must be TakeOrdered (no full sort) and the
+    centroid table must BROADCAST into the assignment join — the vectors
+    side never shuffles for assignment."""
+    from lasvdedup_spark.operators.ann import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, 8)
+    assert "TakeOrderedAndProject" in _plan(cents)
+    assigned = ivf_assign(emb, cents, n_probe=2)
+    plan = _plan(assigned)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
