@@ -23,7 +23,9 @@ Usage:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_EXPAND (default 300), SPARK_GRAFT_CONCAT (default 8),
-     SCALING_CPUS (default "4,16"), SCALING_REPEATS (default 2).
+     SCALING_CPUS (default "4,16"), SCALING_REPEATS (default 3 — host
+     steal is strictly additive and swings single runs by ~20%, so the
+     per-level minimum needs >= 3 samples to stabilize).
 
 Why EXPAND=300 (round 2): profiling split the e2e wall time into
 T(p) = S + P/p with S ~= 18s of parallelism-INDEPENDENT cost (AQE per-stage
@@ -111,7 +113,7 @@ def main() -> None:
         return
 
     levels = [int(c) for c in os.environ.get("SCALING_CPUS", "4,16").split(",")]
-    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     runs = []
     for cpus in levels:
         # best-of-N: this sandbox VM sees sporadic external contention that

@@ -46,6 +46,32 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument("--jaccard-threshold", type=float, default=None)
     p.add_argument("--target-length", type=int, default=None)
+    p.add_argument(
+        "--quality-cols", default="",
+        help="comma list of page columns ranked DESC for representative "
+             "selection (reference SELECTION_COLUMNS)",
+    )
+    p.add_argument(
+        "--lang-threshold", action="append", default=[], metavar="LANG=T",
+        help="per-language jaccard threshold override (repeatable), e.g. "
+             "--lang-threshold de=0.6 (reference segment THRESHOLDS)",
+    )
+    p.add_argument(
+        "--partition-output", action="store_true",
+        help="write output partitioned by classification verdict "
+             "(per-class directories, reference io_utils.py:111-144)",
+    )
+    p.add_argument(
+        "--dry-run", action="store_true",
+        help="print the stage plan (which stages would run / resume from "
+             "checkpoint) and exit without starting Spark (reference "
+             "--dry-run, snakemake -n)",
+    )
+    p.add_argument(
+        "--force", action="store_true",
+        help="recompute every stage even if finished checkpoints exist "
+             "(reference --force)",
+    )
     p.add_argument("--master", default=None, help="override spark master (default: from environment)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p.parse_args(argv)
@@ -63,6 +89,14 @@ def build_config(args: argparse.Namespace) -> DedupConfig:
         overrides["target_length"] = args.target_length
     if args.shuffle_partitions is not None:
         overrides["shuffle_partitions"] = args.shuffle_partitions
+    if getattr(args, "lang_threshold", None):
+        lt = {}
+        for spec in args.lang_threshold:
+            lang, _, thr = spec.partition("=")
+            if not thr:
+                raise ValueError(f"--lang-threshold expects LANG=T, got {spec!r}")
+            lt[lang] = float(thr)
+        overrides["lang_thresholds"] = lt
     if args.config:
         return DedupConfig.from_yaml(args.config, **overrides)
     return DedupConfig(**overrides)
@@ -73,6 +107,12 @@ def main(argv: list[str] | None = None) -> int:
     cfg = build_config(args)
     tiers = tuple(t.strip() for t in args.tiers.split(",") if t.strip())
 
+    if args.dry_run:
+        from lasvdedup_spark.pipeline import stage_plan
+
+        print(json.dumps({"dry_run": True, "stages": stage_plan(cfg, tiers)}))
+        return 0
+
     from lasvdedup_spark.pipeline import dedup
     from lasvdedup_spark.session import get_spark
 
@@ -81,10 +121,20 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master,
         shuffle_partitions=cfg.shuffle_partitions,
     )
+    quality_cols = tuple(c.strip() for c in args.quality_cols.split(",") if c.strip())
+
     t0 = time.time()
     pages = spark.read.parquet(args.input)
-    out = dedup(spark, pages, cfg, tiers=tiers)
-    out.orderBy("url").write.mode("overwrite").parquet(args.output)
+    out = dedup(
+        spark, pages, cfg, tiers=tiers, quality_cols=quality_cols,
+        force=args.force,
+    )
+    if args.partition_output:
+        from lasvdedup_spark.sinks import write_classifications
+
+        write_classifications(out.orderBy("url"), path=args.output)
+    else:
+        out.orderBy("url").write.mode("overwrite").parquet(args.output)
 
     n = spark.read.parquet(args.output).count()
     summary = {

@@ -111,6 +111,43 @@ def minhash_sig_expr(cfg: DedupConfig, shingles_col: str = "shingles") -> Column
 # signature stage at expand=100/concat=8 on local[16].
 
 
+def fast_shingle_hashes_expr(cfg: DedupConfig, tokens_col: str = "tokens") -> Column:
+    """28-bit shingle hashes WITHOUT building shingle strings — production
+    xxhash64 family only. Each token is hashed ONCE; a window's hash is the
+    position-weighted multiply-add of its k token hashes (mod 2^28, so the
+    minhash overflow bound a*h+b < 2^60 still holds: terms < 2^28 * 2^28 * k
+    < 2^58 inside the sum).
+
+    Two structural tricks:
+      * let-binding via single-element array: transform(array(TH), th ->
+        ...) evaluates the token-hash array exactly once per row; a plain
+        column alias would be re-inlined into the window lambda by
+        CollapseProject, recomputing the whole array per shingle position
+        (the round-1 44s-vs-6s trap, see minhash_sig_expr).
+      * try_element_at + coalesce(…, 0): docs shorter than k still produce
+        one well-defined shingle hash (ANSI element_at would throw on the
+        out-of-range positions).
+
+    vs the string path (concat_ws over slice per window): no per-shingle
+    string allocation (~25 bytes x 4x token volume of transient garbage).
+    MinHash's min() is duplicate-insensitive, so the distinct pass the
+    string path needs for its shingle SET is skipped too.
+    """
+    k = cfg.shingle_k
+    M = 1 << 28
+    mults = [pow(31, k - 1 - j, M) for j in range(k)]
+    th_expr = f"transform({tokens_col}, t -> pmod(xxhash64(t), {M}))"
+    combine = " + ".join(
+        f"coalesce(try_element_at(th, i + {j + 1}), 0L) * {mults[j]}L"
+        for j in range(k)
+    )
+    return F.expr(
+        f"element_at(transform(array({th_expr}), th -> "
+        f"  transform(sequence(0, greatest(size({tokens_col}) - {k}, 0)), "
+        f"    i -> pmod({combine}, {M}))), 1)"
+    )
+
+
 def minhash_sig_from_hashes_expr(
     cfg: DedupConfig, hashes_col: str = "sh_hashes"
 ) -> Column:

@@ -31,17 +31,33 @@ from lasvdedup_spark.functions.text import shingles_expr, tokens_expr
 
 
 def signatures(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
-    """(id, sig: array<bigint>) — one row per doc, JVM-side end to end.
+    """(id, sig: array<int>) — one row per doc, JVM-side end to end.
 
-    minhash_sig_expr is a collapse-proof aggregate fold: the md5 shingle
+    minhash_sig_expr is a collapse-proof aggregate fold: the shingle
     hashing runs once per shingle even after Catalyst merges all these
     projections into one (see functions/hashing.py for the full story —
-    the naive nested-transform form pays num_perms x the hashing cost)."""
-    return (
-        pages.select(F.col(id_col).alias("id"), "text")
-        .withColumn("tokens", tokens_expr("text"))
-        .withColumn("shingles", shingles_expr(cfg.shingle_k))
-        .select("id", minhash_sig_expr(cfg).alias("sig"))
+    the naive nested-transform form pays num_perms x the hashing cost).
+
+    The production family additionally skips shingle-STRING construction:
+    token hashes combine arithmetically per window
+    (fast_shingle_hashes_expr) — same signature semantics (min over the
+    doc's shingle hashes), different hash family, no per-shingle string
+    garbage. The md5 family keeps the string form the DuckDB oracle can
+    replicate byte-for-byte."""
+    base = pages.select(F.col(id_col).alias("id"), "text").withColumn(
+        "tokens", tokens_expr("text")
+    )
+    if cfg.hash_family == "xxhash64":
+        from lasvdedup_spark.functions.hashing import (
+            fast_shingle_hashes_expr,
+            minhash_sig_from_hashes_expr,
+        )
+
+        return base.withColumn(
+            "sh_hashes", fast_shingle_hashes_expr(cfg)
+        ).select("id", minhash_sig_from_hashes_expr(cfg).alias("sig"))
+    return base.withColumn("shingles", shingles_expr(cfg.shingle_k)).select(
+        "id", minhash_sig_expr(cfg).alias("sig")
     )
 
 

@@ -35,9 +35,13 @@ from lasvdedup_spark.config import DedupConfig
 
 
 class StageRunner:
-    def __init__(self, spark: SparkSession, cfg: DedupConfig):
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, force: bool = False):
+        """force=True recomputes every stage even when a finished checkpoint
+        exists — the reference's ``--force`` rerun semantics
+        (/root/reference/lasvdedup/cli.py:42-43, Snakemake --forceall)."""
         self.spark = spark
         self.cfg = cfg
+        self.force = force
         self.root = (
             os.path.join(cfg.checkpoint_dir, cfg.fingerprint())
             if cfg.checkpoint_dir
@@ -50,6 +54,8 @@ class StageRunner:
         return os.path.join(self.root, stage)
 
     def _done(self, stage: str) -> bool:
+        if self.force:
+            return False
         return self.root is not None and os.path.exists(
             os.path.join(self._path(stage), "_SUCCESS")
         )
@@ -135,12 +141,45 @@ def validate_pages_schema(
         )
 
 
+def stage_plan(cfg: DedupConfig, tiers: tuple[str, ...] = ("minhash",)) -> list[dict]:
+    """Dry-run plan (reference --dry-run / snakemake -n,
+    /root/reference/lasvdedup/cli.py:42-43): the stages dedup() would run
+    for this config, with done-ness read from existing checkpoints. Pure
+    driver-side metadata — no Spark job runs."""
+    names = ["narrow"]
+    if "exact" in tiers:
+        names.append("edges_exact")
+    if "minhash" in tiers:
+        names += ["signatures", "bands", "pairs"]
+    if "simhash" in tiers:
+        names.append("edges_simhash")
+    if "substring" in tiers:
+        names.append("edges_substring")
+    names += ["edges", "components", "classifications"]
+    root = (
+        os.path.join(cfg.checkpoint_dir, cfg.fingerprint())
+        if cfg.checkpoint_dir
+        else None
+    )
+    return [
+        {
+            "stage": n,
+            "done": bool(
+                root and os.path.exists(os.path.join(root, n, "_SUCCESS"))
+            ),
+            "fingerprint": cfg.fingerprint(),
+        }
+        for n in names
+    ]
+
+
 def dedup(
     spark: SparkSession,
     pages: DataFrame,
     cfg: DedupConfig | None = None,
     tiers: tuple[str, ...] = ("minhash",),
     quality_cols: tuple[str, ...] = (),
+    force: bool = False,
 ) -> DataFrame:
     """Public API: pages -> classifications DataFrame (lazy unless
     checkpointing). The analog of the reference's importable
@@ -170,7 +209,7 @@ def dedup(
     cfg = cfg or DedupConfig()
     lang_cols = ("lang",) if cfg.lang_thresholds else ()
     validate_pages_schema(pages, ("url", "text", *quality_cols, *lang_cols))
-    r = StageRunner(spark, cfg)
+    r = StageRunner(spark, cfg, force=force)
 
     narrow = r.stage(
         "narrow",

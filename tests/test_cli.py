@@ -35,6 +35,66 @@ def test_unknown_yaml_key_fails_fast(tmp_path):
         build_config(a)
 
 
+def test_lang_threshold_flag_parsing():
+    a = parse_args(
+        ["--input", "i", "--output", "o",
+         "--lang-threshold", "de=0.6", "--lang-threshold", "fr=0.4"]
+    )
+    cfg = build_config(a)
+    assert cfg.lang_thresholds == {"de": 0.6, "fr": 0.4}
+    bad = parse_args(["--input", "i", "--output", "o", "--lang-threshold", "de"])
+    with pytest.raises(ValueError, match="LANG=T"):
+        build_config(bad)
+
+
+def test_cli_partitioned_output(spark, sf_dir, tmp_path, capsys):
+    from lasvdedup_spark.sources.pages import synth_pages_with_dups
+
+    pages, _ = synth_pages_with_dups(spark, sf_dir)
+    inp = str(tmp_path / "pages_p")
+    outp = str(tmp_path / "out_p")
+    pages.write.parquet(inp)
+    rc = main(["--input", inp, "--output", outp, "--partition-output"])
+    assert rc == 0
+    parts = {d for d in os.listdir(outp) if d.startswith("classification=")}
+    assert "classification=good" in parts
+    assert spark.read.parquet(outp).count() == pages.count()
+
+
+def test_dry_run_and_force(spark, sf_dir, tmp_path, capsys):
+    """--dry-run prints the stage plan without starting Spark; after a real
+    run, the plan reports checkpointed stages done; --force reruns them
+    (reference --dry-run/--force, cli.py:42-43)."""
+    from lasvdedup_spark.pipeline import dedup, stage_plan
+    from lasvdedup_spark.sources.pages import synth_pages_with_dups
+
+    ckpt = str(tmp_path / "ckpt")
+    rc = main(
+        ["--input", "i", "--output", "o", "--checkpoint-dir", ckpt, "--dry-run"]
+    )
+    assert rc == 0
+    plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan["dry_run"] is True
+    names = [s["stage"] for s in plan["stages"]]
+    assert names == ["narrow", "signatures", "bands", "pairs", "edges",
+                     "components", "classifications"]
+    assert not any(s["done"] for s in plan["stages"])
+
+    cfg = DedupConfig(checkpoint_dir=ckpt)
+    pages, _ = synth_pages_with_dups(spark, sf_dir)
+    dedup(spark, pages, cfg).count()
+    after = stage_plan(cfg)
+    assert all(s["done"] for s in after)
+
+    # force: stage runner recomputes (skipped=False in metrics)
+    from lasvdedup_spark.pipeline import StageRunner
+
+    r = StageRunner(spark, cfg, force=True)
+    df = r.stage("narrow", lambda: pages.select("url", "text"))
+    assert df.count() == pages.count()
+    assert r.metrics[-1]["skipped"] is False
+
+
 def test_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
     from lasvdedup_spark.sources.pages import synth_pages_with_dups
 
