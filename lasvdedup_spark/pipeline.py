@@ -24,6 +24,8 @@ one module — the stage logic never knows the difference.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import time
 from typing import Callable
@@ -35,15 +37,26 @@ from lasvdedup_spark.config import DedupConfig
 
 
 class StageRunner:
-    def __init__(self, spark: SparkSession, cfg: DedupConfig, force: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig,
+        force: bool = False,
+        extra_key: str = "",
+    ):
         """force=True recomputes every stage even when a finished checkpoint
         exists — the reference's ``--force`` rerun semantics
-        (/root/reference/lasvdedup/cli.py:42-43, Snakemake --forceall)."""
+        (/root/reference/lasvdedup/cli.py:42-43, Snakemake --forceall).
+
+        extra_key extends the content address beyond DedupConfig for
+        call-level semantics (tiers, quality_cols): two dedup() calls with
+        the same config but different tiers MUST NOT share checkpoints —
+        the edge set differs."""
         self.spark = spark
         self.cfg = cfg
         self.force = force
         self.root = (
-            os.path.join(cfg.checkpoint_dir, cfg.fingerprint())
+            os.path.join(cfg.checkpoint_dir, cfg.fingerprint() + extra_key)
             if cfg.checkpoint_dir
             else None
         )
@@ -209,7 +222,14 @@ def dedup(
     cfg = cfg or DedupConfig()
     lang_cols = ("lang",) if cfg.lang_thresholds else ()
     validate_pages_schema(pages, ("url", "text", *quality_cols, *lang_cols))
-    r = StageRunner(spark, cfg, force=force)
+    # tiers/quality_cols change stage outputs but live outside DedupConfig:
+    # fold them into the checkpoint address or a resume with different
+    # arguments silently reuses stale stages
+    call_key = ""
+    if tiers != ("minhash",) or quality_cols:
+        blob = json.dumps([sorted(tiers), list(quality_cols)]).encode()
+        call_key = "-" + hashlib.md5(blob).hexdigest()[:8]
+    r = StageRunner(spark, cfg, force=force, extra_key=call_key)
 
     narrow = r.stage(
         "narrow",
@@ -241,6 +261,24 @@ def dedup(
         bands = r.stage(
             "bands", lambda: minhash.capped_buckets(minhash.band_buckets(sigs, cfg), cfg)
         )
+        if cfg.max_bucket_size is not None and r.root is not None:
+            # the cap's contract: dropped rows are COUNTED, never silent.
+            # sigs is checkpointed, so the raw band census is one cheap
+            # map-side agg; the capped count is the stage's recorded rows.
+            capped_rows = next(
+                (m["rows"] for m in reversed(r.metrics) if m["stage"] == "bands"),
+                -1,
+            )
+            if capped_rows >= 0:
+                raw_rows = minhash.band_buckets(sigs, cfg).count()
+                r.metrics.append(
+                    {
+                        "stage": "bands_dropped_by_cap",
+                        "skipped": False,
+                        "seconds": 0.0,
+                        "rows": raw_rows - capped_rows,
+                    }
+                )
         e = r.stage(
             "pairs",
             lambda: minhash.verified_pairs(

@@ -128,6 +128,47 @@ def test_partitioned_write_and_figtree_view(spark, tmp_path):
         write_classifications(out)  # neither sink given
 
 
+def test_tiers_and_quality_cols_do_not_share_checkpoints(spark, tmp_path):
+    """Two dedup() calls with the same DedupConfig but different tiers /
+    quality_cols must use DIFFERENT checkpoint roots — the edge set and
+    rank order differ, so sharing would resume from stale stages."""
+    import os as _os
+
+    rows = [
+        ("u/a", None, None, TEXT, "en", 1.0),
+        ("u/b", None, None, TEXT, "en", 9.0),
+    ]
+    pages = _pages(spark, rows)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path))
+    dedup(spark, pages, cfg).count()
+    dedup(spark, pages, cfg, tiers=("exact", "minhash")).count()
+    out_q = dedup(spark, pages, cfg, quality_cols=("fetch_score",)).collect()
+    roots = [d for d in _os.listdir(tmp_path) if not d.startswith("_")]
+    assert len(roots) == 3, roots
+    # and the quality-col run really used fresh stages (u/b wins by quality)
+    by = {r["url"]: r for r in out_q}
+    assert by["u/b"]["classification"] == "good"
+
+
+def test_bucket_cap_drop_count_logged(spark, tmp_path):
+    """max_bucket_size's contract: dropped band rows are counted into the
+    metrics table, never silently truncated."""
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    rows = [(f"u/{i:03d}", None, None, TEXT, "en", 0.0) for i in range(20)]
+    pages = _pages(spark, rows)  # 20 identical docs -> every bucket size 20
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path), max_bucket_size=5)
+    dedup(spark, pages, cfg).count()
+    root = [d for d in _os.listdir(tmp_path) if not d.startswith("_")][0]
+    metrics = spark.read.parquet(str(tmp_path / root / "_metrics"))
+    dropped = metrics.where(F2.col("stage") == "bands_dropped_by_cap").collect()
+    assert len(dropped) == 1
+    # 32 bands x 20 docs = 640 raw rows; cap 5 keeps 32 x 5 = 160
+    assert dropped[0]["rows"] == 640 - 160
+
+
 def test_lang_thresholds_affect_fingerprint():
     a = DedupConfig().fingerprint()
     b = DedupConfig(lang_thresholds={"en": 0.4}).fingerprint()
