@@ -149,3 +149,28 @@ def test_resume_from_checkpoint(spark, corpus, tmp_path):
     fp_dir = os.path.join(str(tmp_path), cfg.fingerprint())
     assert os.path.exists(os.path.join(fp_dir, "classifications", "_SUCCESS"))
     assert os.path.exists(os.path.join(fp_dir, "_metrics"))
+
+    # --- crash-mid-pipeline resume (north rule: "any run resumes
+    # mid-pipeline"): wipe the LAST two stages as a crash between
+    # 'pairs' and 'components' would leave them, rerun, and verify the
+    # early stages were read back (skipped) while output is identical.
+    import shutil
+    for stage in ("components", "classifications"):
+        shutil.rmtree(os.path.join(fp_dir, stage))
+    from lasvdedup_spark.pipeline import StageRunner, dedup as _dedup
+    third = _dedup(spark, pages, cfg)
+    t_rows = sorted(
+        (r["url"], r["component"], r["classification"]) for r in third.collect()
+    )
+    assert t_rows == f_rows
+    # metrics of the rerun: early stages skipped, late stages recomputed
+    from pyspark.sql import functions as F2
+    metrics = spark.read.parquet(os.path.join(fp_dir, "_metrics"))
+    rows = metrics.orderBy(F2.desc("logged_at")).collect()
+    by_stage = {}
+    for m in rows:  # newest first; keep the latest row per stage
+        by_stage.setdefault(m["stage"], m["skipped"])
+    assert by_stage.get("signatures") is True
+    assert by_stage.get("pairs") is True
+    assert by_stage.get("components") is False
+    assert by_stage.get("classifications") is False
