@@ -683,6 +683,63 @@ qualify row_number() over (partition by source
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the web analog of the reference's
+    name-normalization chain (strip _R_, split at first dot, prefix match;
+    sequence_grouping.py:63-78): lowercase scheme+host, drop the fragment,
+    drop utm_* query params, strip a trailing slash and a dangling '?'.
+    Pure regexp_replace/extract chains, identical patterns on both engines;
+    messy variants are synthesized deterministically per doc_id."""
+    d = _docs(spark, sf_dir)
+    junk = F.expr(
+        "element_at(array('?utm_source=feed&x=1#frag', '#section-2', "
+        "'/', '?utm_campaign=a&utm_medium=b'), cast(pmod(doc_id, 4) as int) + 1)"
+    )
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".Example.COM/Doc/"),
+        F.col("doc_id").cast("string"), junk,
+    )
+    d = d.select("doc_id", raw.alias("raw_url"))
+    scheme = F.lower(F.regexp_extract("raw_url", r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract("raw_url", r"^[A-Za-z]+://([^/]+)", 1))
+    path = F.regexp_extract("raw_url", r"^[A-Za-z]+://[^/]+(.*)$", 1)
+    path = F.regexp_replace(path, r"#.*$", "")               # fragment
+    path = F.regexp_replace(path, r"utm_[a-z]+=[^&]*&?", "")  # utm params
+    path = F.regexp_replace(path, r"[?&]$", "")              # dangling ?/&
+    path = F.regexp_replace(path, r"/$", "")                 # trailing slash
+    return d.select(
+        "doc_id",
+        "raw_url",
+        F.concat(scheme, F.lit("://"), host, path).alias("url_norm"),
+    )
+
+
+O_URL_NORMALIZE = """
+with b as (
+  select doc_id,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM/Doc/' || doc_id ||
+         ['?utm_source=feed&x=1#frag', '#section-2', '/',
+          '?utm_campaign=a&utm_medium=b'][(doc_id % 4)::INT + 1] as raw_url
+  from documents),
+n as (
+  select doc_id, raw_url,
+         lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) as scheme,
+         lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/]+)', 1)) as host,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_extract(raw_url, '^[A-Za-z]+://[^/]+(.*)$', 1),
+                 '#.*$', ''),
+               'utm_[a-z]+=[^&]*&?', '', 'g'),
+             '[?&]$', ''),
+           '/$', '') as path
+  from b)
+select doc_id, raw_url, scheme || '://' || host || path as url_norm
+from n
+"""
+
+
 def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex extract + grouping-key parity (sequence_grouping.py:26-40)."""
     return _docs(spark, sf_dir).select(
@@ -1205,6 +1262,7 @@ QUERIES = {
     "median_mad": q_median_mad,
     "argmin_rank_representative": q_argmin_rank_representative,
     "regex_extract": q_regex_extract,
+    "url_normalize": q_url_normalize,
     "left_join_misses": q_left_join_misses,
     "broadcast_stats_join": q_broadcast_stats_join,
     "simhash_signatures": q_simhash_signatures,
@@ -1240,6 +1298,7 @@ ORACLES = {
     "median_mad": O_MEDIAN_MAD,
     "argmin_rank_representative": O_ARGMIN_RANK_REPRESENTATIVE,
     "regex_extract": O_REGEX_EXTRACT,
+    "url_normalize": O_URL_NORMALIZE,
     "left_join_misses": O_LEFT_JOIN_MISSES,
     "broadcast_stats_join": O_BROADCAST_STATS_JOIN,
     "simhash_signatures": O_SIMHASH_SIGNATURES(),
