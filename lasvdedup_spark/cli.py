@@ -106,11 +106,24 @@ def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     cfg = build_config(args)
     tiers = tuple(t.strip() for t in args.tiers.split(",") if t.strip())
+    quality_cols = tuple(c.strip() for c in args.quality_cols.split(",") if c.strip())
 
     if args.dry_run:
         from lasvdedup_spark.pipeline import stage_plan
 
-        print(json.dumps({"dry_run": True, "stages": stage_plan(cfg, tiers)}))
+        # quality_cols/force flow through so the plan reads done-ness from
+        # the SAME checkpoint address the real run would use (and a forced
+        # run reports everything as to-run)
+        print(
+            json.dumps(
+                {
+                    "dry_run": True,
+                    "stages": stage_plan(
+                        cfg, tiers, quality_cols=quality_cols, force=args.force
+                    ),
+                }
+            )
+        )
         return 0
 
     from lasvdedup_spark.pipeline import dedup
@@ -121,7 +134,6 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master,
         shuffle_partitions=cfg.shuffle_partitions,
     )
-    quality_cols = tuple(c.strip() for c in args.quality_cols.split(",") if c.strip())
 
     t0 = time.time()
     pages = spark.read.parquet(args.input)

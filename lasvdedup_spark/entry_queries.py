@@ -101,7 +101,11 @@ verified as (
   qualify jaccard >= {CFG.jaccard_threshold})
 """
 # NB: DuckDB has QUALIFY; but keep it simple with a subquery instead:
-_DK_PAIRS_CTE = _DK_BANDS_CTE + f""",
+def _dk_pairs_cte(threshold: float) -> str:
+    """Candidate+verified pairs CTE at an arbitrary verification threshold
+    (the lang-thresholds query verifies at the FLOOR of all per-language
+    thresholds, not at the global one)."""
+    return _DK_BANDS_CTE + f""",
 cand as (
   select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_bands
   from bands a join bands b using (bucket)
@@ -112,8 +116,11 @@ scored as (
   from cand c
   join sig sa on sa.doc_id = c.id_a
   join sig sb on sb.doc_id = c.id_b),
-verified as (select * from scored where jaccard >= {CFG.jaccard_threshold})
+verified as (select * from scored where jaccard >= {threshold})
 """
+
+
+_DK_PAIRS_CTE = _dk_pairs_cte(CFG.jaccard_threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -1242,6 +1249,60 @@ from h
 # Registry
 # ---------------------------------------------------------------------------
 
+# Per-language threshold refinement (reference segment-specific THRESHOLDS,
+# config_setup.py:154-184): verify candidates at the FLOOR of all thresholds
+# (0.375 here — BELOW the global 0.5, so lower-threshold languages gain
+# pairs the global verify would have dropped), then keep an edge iff its
+# jaccard clears the threshold of BOTH endpoints' languages (greatest),
+# unlisted languages using the global threshold. Thresholds are exact binary
+# fractions so the filter boundary is bit-identical across engines.
+_LANG_THR = {"de": 0.375, "zh": 0.75}
+
+
+def q_lang_threshold_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lasvdedup_spark.operators.minhash import (
+        band_buckets,
+        candidate_pairs,
+        verified_pairs,
+    )
+    from lasvdedup_spark.pipeline import refine_edges_by_lang
+
+    cfg = CFG.with_overrides(lang_thresholds=_LANG_THR)
+    floor = min(cfg.jaccard_threshold, *cfg.lang_thresholds.values())
+    sigs = _doc_sigs(spark, sf_dir)
+    at_floor = verified_pairs(
+        candidate_pairs(band_buckets(sigs, CFG), CFG),
+        sigs,
+        CFG.with_overrides(jaccard_threshold=floor),
+    )
+    refined = refine_edges_by_lang(
+        at_floor, _docs(spark, sf_dir), cfg, id_col="doc_id"
+    )
+    return refined.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _o_lang_threshold_edges_sql() -> str:
+    floor = min(CFG.jaccard_threshold, *_LANG_THR.values())
+    case = (
+        "case lang "
+        + " ".join(f"when '{k}' then {v}" for k, v in _LANG_THR.items())
+        + f" else {CFG.jaccard_threshold} end"
+    )
+    return f"""
+with {_dk_pairs_cte(floor)},
+thr as (select doc_id, {case} as t from documents)
+select v.id_a, v.id_b, v.jaccard
+from verified v
+join thr a on a.doc_id = v.id_a
+join thr b on b.doc_id = v.id_b
+where v.jaccard >= greatest(a.t, b.t)
+"""
+
+
 QUERIES = {
     "exact_dup_clusters": q_exact_dup_clusters,
     "exact_dup_star_edges": q_exact_dup_star_edges,
@@ -1268,6 +1329,7 @@ QUERIES = {
     "simhash_signatures": q_simhash_signatures,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "lang_id": q_lang_id,
+    "lang_threshold_edges": q_lang_threshold_edges,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_buckets": q_ann_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1304,6 +1366,7 @@ ORACLES = {
     "simhash_signatures": O_SIMHASH_SIGNATURES(),
     "simhash_dup_pairs": O_SIMHASH_DUP_PAIRS(),
     "lang_id": O_LANG_ID,
+    "lang_threshold_edges": _o_lang_threshold_edges_sql(),
     "knn_bruteforce": O_KNN_BRUTEFORCE(),
     "ann_buckets": O_ANN_BUCKETS(),
     "ann_lsh_topk": O_ANN_LSH_TOPK(),

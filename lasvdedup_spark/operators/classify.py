@@ -70,13 +70,23 @@ def rank_members(
 
 def classify(
     assignments: DataFrame,   # (id, component)
-    edges: DataFrame,         # (id_a, id_b, jaccard) verified duplicate edges
+    edges: DataFrame,         # (id_a, id_b, jaccard[, transitive]) verified edges
     stats: DataFrame,         # (id, n_chars, ...) member metadata for ranking
     cfg: DedupConfig,
     quality_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """-> classifications(id, component, classification, decision_category,
-          rank, dist_to_target, cluster_size, rep_id, reason)."""
+          rank, dist_to_target, cluster_size, rep_id, reason).
+
+    Optional ``transitive`` edge column: True marks star edges (rep, member)
+    from a TRANSITIVE-equality tier (exact hash dedup emits m-1 spanning
+    edges for an m-clique — operators/exact.py). Hash equality is an
+    equivalence relation, so a star over {rep, m1..mk} PROVES all C(m,2)
+    pairwise similarities are 1.0; the pair-completeness gate below must
+    count those implied pairs or an all-identical cluster larger than
+    clade_size lands in TrueCoinfection (everything kept — silent dedup
+    failure). Substring's jaccard=1.0 span edges are NOT transitive and
+    must not set the flag."""
     members = assignments.join(stats, "id", "inner")
     members = rank_members(members, cfg, quality_cols=quality_cols)
 
@@ -84,10 +94,67 @@ def classify(
     ecomp = edges.join(
         assignments.select(F.col("id").alias("id_a"), "component"), "id_a"
     )
-    comp_pairs = ecomp.groupBy("component").agg(
-        F.min("jaccard").alias("min_jaccard"),
-        F.count("*").alias("n_pairs"),
-    )
+    if "transitive" in edges.columns:
+        # Exact pair accounting in the presence of transitive star edges:
+        #   n_pairs = sum over exact clusters of C(m,2)   (implied, all 1.0)
+        #           + count of verified pairs whose endpoints lie in
+        #             DIFFERENT exact clusters (rep(a) != rep(b), rep
+        #             defaulting to self) — counting a within-cluster
+        #             verified pair (e.g. the same pair also surfaced by
+        #             minhash) twice would let `n_pairs >= C(n,2)` pass on
+        #             a component with genuinely unverified pairs.
+        # min_jaccard is unaffected: every implied pair is 1.0.
+        trans = ecomp.where(F.col("transitive"))
+        rep_map = trans.select(
+            F.col("id_b").alias("_member"), F.col("id_a").alias("_rep")
+        )
+        # per-rep star degree -> cluster size m = degree + 1 -> C(m,2)
+        implied = (
+            trans.groupBy("component", "id_a")
+            .agg(F.count("*").alias("_deg"))
+            .withColumn("_m", F.col("_deg") + F.lit(1))
+            .groupBy("component")
+            .agg(
+                F.sum(F.col("_m") * (F.col("_m") - 1) / 2).alias("_implied")
+            )
+        )
+        ra = rep_map.select(
+            F.col("_member").alias("id_a"), F.col("_rep").alias("_rep_a")
+        )
+        rb = rep_map.select(
+            F.col("_member").alias("id_b"), F.col("_rep").alias("_rep_b")
+        )
+        cross_cluster = (
+            ecomp.join(ra, "id_a", "left")
+            .join(rb, "id_b", "left")
+            .where(
+                F.coalesce("_rep_a", F.col("id_a"))
+                != F.coalesce("_rep_b", F.col("id_b"))
+            )
+        )
+        comp_pairs = (
+            ecomp.groupBy("component")
+            .agg(F.min("jaccard").alias("min_jaccard"))
+            .join(
+                cross_cluster.groupBy("component").agg(
+                    F.count("*").alias("_n_verified")
+                ),
+                "component",
+                "left",
+            )
+            .join(implied, "component", "left")
+            .withColumn(
+                "n_pairs",
+                F.coalesce("_n_verified", F.lit(0))
+                + F.coalesce("_implied", F.lit(0.0)),
+            )
+            .select("component", "min_jaccard", "n_pairs")
+        )
+    else:
+        comp_pairs = ecomp.groupBy("component").agg(
+            F.min("jaccard").alias("min_jaccard"),
+            F.count("*").alias("n_pairs"),
+        )
 
     # --- per-member mean distance to other members (outlier score)
     half = ecomp.select("component", F.col("id_a").alias("id"), "jaccard").unionAll(

@@ -16,11 +16,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def with_content_hash(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    return pages.withColumn("content_hash", F.md5(F.col(text_col)))
+def with_content_hash(
+    pages: DataFrame, text_col: str = "text", hash_family: str = "md5"
+) -> DataFrame:
+    """Content hash for the exact tier. md5 (default) is the DuckDB-oracle
+    -portable family; production runs pass cfg.hash_family="xxhash64"
+    because JDK MessageDigest serializes on the JCA provider lock — an
+    md5-heavy map stage does not scale across executor threads within one
+    JVM (measured flat ~20s at local[8] AND local[32]; BENCH.md). xxhash64
+    is 64-bit, so it is composed with length(text) to push the collision
+    odds for a false merge far below the 1e12-doc birthday bound."""
+    col = F.col(text_col)
+    if hash_family == "xxhash64":
+        h = F.concat_ws(
+            ":", F.hex(F.xxhash64(col)), F.length(col).cast("string")
+        )
+    else:
+        h = F.md5(col)
+    return pages.withColumn("content_hash", h)
 
 
-def exact_dup_clusters(pages: DataFrame, id_col: str = "url") -> DataFrame:
+def exact_dup_clusters(
+    pages: DataFrame, id_col: str = "url", hash_family: str = "md5"
+) -> DataFrame:
     """(id, content_hash, cluster_size, rep_id, is_duplicate).
 
     rep = min id per hash group: deterministic under any partitioning —
@@ -28,7 +46,7 @@ def exact_dup_clusters(pages: DataFrame, id_col: str = "url") -> DataFrame:
     (io_utils.py:48-55); distributed engines have no input order, so the
     explicit id tiebreak is the order-isomorphic equivalent (SURVEY §7).
     """
-    h = with_content_hash(pages)
+    h = with_content_hash(pages, hash_family=hash_family)
     w = Window.partitionBy("content_hash")
     return (
         h.select(id_col, "content_hash")
@@ -38,7 +56,9 @@ def exact_dup_clusters(pages: DataFrame, id_col: str = "url") -> DataFrame:
     )
 
 
-def exact_dup_pairs(pages: DataFrame, id_col: str = "url") -> DataFrame:
+def exact_dup_pairs(
+    pages: DataFrame, id_col: str = "url", hash_family: str = "md5"
+) -> DataFrame:
     """Star edges (rep_id, member) per exact-dup cluster, id_a < id_b.
 
     Deliberately NOT the all-pairs enumeration of the reference's
@@ -48,7 +68,7 @@ def exact_dup_pairs(pages: DataFrame, id_col: str = "url") -> DataFrame:
     Star edges are O(m) per cluster and produce identical components
     (every member is linked to the cluster minimum). rep_id = min id, so
     id_a < id_b holds by construction."""
-    c = exact_dup_clusters(pages, id_col)
+    c = exact_dup_clusters(pages, id_col, hash_family=hash_family)
     return c.where(F.col("is_duplicate")).select(
         F.col("rep_id").alias("id_a"), F.col(id_col).alias("id_b")
     )

@@ -72,25 +72,42 @@ def simhash_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -
     """(id_a, id_b, hamming) for all pairs with hamming <= cfg.simhash_hamming.
 
     Exact (not approximate) for hamming <= 3 by the banding guarantee.
+
+    Pair generation routes through the shared salted_pair_join on the
+    combined (band_id << BAND_BITS) | band_val key — SimHash's skew hazard
+    is WORSE than minhash's: a boilerplate cluster of m near-identical
+    pages shares all 4 band values, so the naive band self-join puts
+    4 * m^2/2 pair rows in four tasks. The salted join spreads each hot
+    band key over cfg.salt_buckets tasks; the (narrow, 2-column) simhash
+    values are joined back only for the bit_count verify, the same
+    candidates->verify shape minhash uses (operators/minhash.py:107-125).
     """
     if cfg.simhash_hamming > N_BANDS - 1:
         raise ValueError(
             f"simhash_hamming={cfg.simhash_hamming} exceeds the recall "
             f"guarantee of {N_BANDS} bands (max {N_BANDS - 1})"
         )
-    sb = simhash_bands(simhash(pages, id_col))
-    a = sb.alias("a")
-    b = sb.alias("b")
+    from lasvdedup_spark.operators.pairs import salted_pair_join
+
+    # sh feeds the band side AND both verify joins -> lazy cache, no
+    # cross-subtree CSE in Spark (see minhash_dup_pairs)
+    sh = simhash(pages, id_col).localCheckpoint(eager=False)
+    keyed = simhash_bands(sh).select(
+        "id",
+        (
+            (F.col("band_id").cast("long") * F.lit(1 << BAND_BITS))
+            + F.col("band_val")
+        ).alias("band_key"),
+    )
+    cand = salted_pair_join(
+        keyed, "band_key", cfg.salt_buckets, cfg.skew_bucket_cutoff,
+        count_alias="n_bands",
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (
-        a.join(b, ["band_id", "band_val"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .count()
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
         .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
         .select("id_a", "id_b", "hamming")

@@ -122,13 +122,28 @@ def _lcs_tokens_kernel(a, b) -> int:
     return lo
 
 
-def span_lengths(pages: DataFrame, pairs: DataFrame, id_col: str = "url") -> DataFrame:
+def span_lengths(
+    pages: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "url",
+    num_partitions: int | None = None,
+) -> DataFrame:
     """For each candidate pair, the exact longest common token-span length.
 
-    applyInPandas grouped by a pair-bucket: each group gets a batch of pairs
-    plus both token arrays (joined in beforehand, so the Python worker never
-    sees the corpus — only candidate rows). Suffix-array-style computation
-    per pair via sorted suffixes of the concatenated sequence.
+    mapInPandas over a hash-repartition of the enriched candidate rows
+    (both token arrays joined in beforehand, so the Python worker never
+    sees the corpus — only candidate rows). Two scale properties the
+    round-2 fixed-64-bucket applyInPandas lacked:
+
+      * parallelism = num_partitions (default: the session's
+        spark.sql.shuffle.partitions), not a hard-coded 64 — at 100x the
+        candidate volume the fan-out follows the cluster, tunable without
+        code change;
+      * peak Python memory is bounded by the ARROW BATCH
+        (spark.sql.execution.arrow.maxRecordsPerBatch), not by the whole
+        hash group: applyInPandas materializes each group as one pandas
+        frame (pairs/64 x two token arrays per worker), mapInPandas streams
+        batches through the same kernel.
     """
     toks = pages.select(
         F.col(id_col).alias("id"), tokens_expr("text").alias("tokens")
@@ -137,17 +152,28 @@ def span_lengths(pages: DataFrame, pairs: DataFrame, id_col: str = "url") -> Dat
         pairs.select("id_a", "id_b")
         .join(toks.select(F.col("id").alias("id_a"), F.col("tokens").alias("toks_a")), "id_a")
         .join(toks.select(F.col("id").alias("id_b"), F.col("tokens").alias("toks_b")), "id_b")
-        .withColumn("bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(64)))
     )
+    if num_partitions is None:
+        n = int(
+            pages.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    else:
+        n = num_partitions
+    enriched = enriched.repartition(n, "id_a", "id_b")
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.copy()
-        pdf["span_len"] = [
-            _lcs_tokens_kernel(ta, tb)
-            for ta, tb in zip(pdf["toks_a"], pdf["toks_b"])
-        ]
-        return pdf[["id_a", "id_b", "span_len"]]
+    def compute(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "span_len": [
+                        _lcs_tokens_kernel(ta, tb)
+                        for ta, tb in zip(pdf["toks_a"], pdf["toks_b"])
+                    ],
+                }
+            )
 
-    return enriched.groupBy("bucket").applyInPandas(
+    return enriched.mapInPandas(
         compute, schema="id_a string, id_b string, span_len int"
     )

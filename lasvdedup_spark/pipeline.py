@@ -154,11 +154,42 @@ def validate_pages_schema(
         )
 
 
-def stage_plan(cfg: DedupConfig, tiers: tuple[str, ...] = ("minhash",)) -> list[dict]:
+def _call_key(tiers: tuple[str, ...], quality_cols: tuple[str, ...]) -> str:
+    """Checkpoint-address suffix for call-level (non-DedupConfig) semantics.
+    tiers/quality_cols change stage outputs: two dedup() calls with the same
+    config but different tiers MUST NOT share checkpoints — the edge set
+    differs. Shared by dedup() and stage_plan() so --dry-run reports
+    done-ness from the directory the real run will actually use."""
+    if tiers != ("minhash",) or quality_cols:
+        blob = json.dumps([sorted(tiers), list(quality_cols)]).encode()
+        return "-" + hashlib.md5(blob).hexdigest()[:8]
+    return ""
+
+
+def checkpoint_root(
+    cfg: DedupConfig,
+    tiers: tuple[str, ...] = ("minhash",),
+    quality_cols: tuple[str, ...] = (),
+) -> str | None:
+    if not cfg.checkpoint_dir:
+        return None
+    return os.path.join(
+        cfg.checkpoint_dir, cfg.fingerprint() + _call_key(tiers, quality_cols)
+    )
+
+
+def stage_plan(
+    cfg: DedupConfig,
+    tiers: tuple[str, ...] = ("minhash",),
+    quality_cols: tuple[str, ...] = (),
+    force: bool = False,
+) -> list[dict]:
     """Dry-run plan (reference --dry-run / snakemake -n,
     /root/reference/lasvdedup/cli.py:42-43): the stages dedup() would run
     for this config, with done-ness read from existing checkpoints. Pure
-    driver-side metadata — no Spark job runs."""
+    driver-side metadata — no Spark job runs. Uses the SAME checkpoint
+    address as dedup() (fingerprint + call_key over tiers/quality_cols),
+    and force=True reports every stage as to-run, mirroring dedup(force)."""
     names = ["narrow"]
     if "exact" in tiers:
         names.append("edges_exact")
@@ -169,21 +200,55 @@ def stage_plan(cfg: DedupConfig, tiers: tuple[str, ...] = ("minhash",)) -> list[
     if "substring" in tiers:
         names.append("edges_substring")
     names += ["edges", "components", "classifications"]
-    root = (
-        os.path.join(cfg.checkpoint_dir, cfg.fingerprint())
-        if cfg.checkpoint_dir
-        else None
-    )
+    root = checkpoint_root(cfg, tiers, quality_cols)
     return [
         {
             "stage": n,
             "done": bool(
-                root and os.path.exists(os.path.join(root, n, "_SUCCESS"))
+                not force
+                and root
+                and os.path.exists(os.path.join(root, n, "_SUCCESS"))
             ),
             "fingerprint": cfg.fingerprint(),
         }
         for n in names
     ]
+
+
+def refine_edges_by_lang(
+    edges: DataFrame,
+    pages: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-language threshold refinement: an edge stands iff its jaccard
+    clears the threshold of BOTH endpoints' languages (greatest), unlisted
+    languages falling back to cfg.jaccard_threshold — the web analog of the
+    reference's segment-specific THRESHOLDS overrides
+    (/root/reference/lasvdedup/utils/config_setup.py:154-184, where each
+    segment's PWD replaces the global one). Callers verify candidates at
+    the FLOOR (min) of all thresholds first so lower-than-global languages
+    lose no pairs (see dedup()).
+
+    The lang lookup is a narrow (id, threshold) projection — broadcastable
+    when small; the join keys are the ids the edges already shuffle on.
+    """
+    thr_map = F.create_map(
+        *[F.lit(x) for kv in cfg.lang_thresholds.items() for x in kv]
+    )
+    thr = F.coalesce(
+        thr_map[F.col("lang")], F.lit(cfg.jaccard_threshold)
+    ).alias("_thr")
+    langs = pages.select(F.col(id_col), thr)
+    la = langs.select(F.col(id_col).alias("id_a"), F.col("_thr").alias("_thr_a"))
+    lb = langs.select(F.col(id_col).alias("id_b"), F.col("_thr").alias("_thr_b"))
+    return (
+        edges.join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("jaccard") >= F.greatest("_thr_a", "_thr_b"))
+        .select("id_a", "id_b", "jaccard", *extra_cols)
+    )
 
 
 def dedup(
@@ -223,13 +288,11 @@ def dedup(
     lang_cols = ("lang",) if cfg.lang_thresholds else ()
     validate_pages_schema(pages, ("url", "text", *quality_cols, *lang_cols))
     # tiers/quality_cols change stage outputs but live outside DedupConfig:
-    # fold them into the checkpoint address or a resume with different
-    # arguments silently reuses stale stages
-    call_key = ""
-    if tiers != ("minhash",) or quality_cols:
-        blob = json.dumps([sorted(tiers), list(quality_cols)]).encode()
-        call_key = "-" + hashlib.md5(blob).hexdigest()[:8]
-    r = StageRunner(spark, cfg, force=force, extra_key=call_key)
+    # fold them into the checkpoint address (shared with stage_plan) or a
+    # resume with different arguments silently reuses stale stages
+    r = StageRunner(
+        spark, cfg, force=force, extra_key=_call_key(tiers, quality_cols)
+    )
 
     narrow = r.stage(
         "narrow",
@@ -247,12 +310,28 @@ def dedup(
     else:
         cfg_verify = cfg
 
+    # "exact" edges come from hash equality — an equivalence relation — so
+    # classify treats their star edges as proving all C(m,2) pairwise
+    # similarities (transitive=True). Every other tier's edges are verified
+    # individual pairs (substring's jaccard=1.0 span links included: sharing
+    # a span with B and with C does not make B~C).
+    tag_transitive = "exact" in tiers
+
+    def _edge_cols(e: DataFrame, transitive: bool) -> DataFrame:
+        e = e.select("id_a", "id_b", "jaccard")
+        if tag_transitive:
+            e = e.withColumn("transitive", F.lit(transitive))
+        return e
+
     edge_frames = []
     if "exact" in tiers:
-        e = r.stage("edges_exact", lambda: exact.exact_dup_pairs(narrow).withColumn(
-            "jaccard", F.lit(1.0)
-        ))
-        edge_frames.append(e.select("id_a", "id_b", "jaccard"))
+        e = r.stage(
+            "edges_exact",
+            lambda: exact.exact_dup_pairs(
+                narrow, hash_family=cfg.hash_family
+            ).withColumn("jaccard", F.lit(1.0)),
+        )
+        edge_frames.append(_edge_cols(e, transitive=True))
     if "minhash" in tiers:
         # the north rule's checkpoint stages: signatures -> bands -> pairs
         sigs = r.stage(
@@ -263,20 +342,33 @@ def dedup(
         )
         if cfg.max_bucket_size is not None and r.root is not None:
             # the cap's contract: dropped rows are COUNTED, never silent.
-            # sigs is checkpointed, so the raw band census is one cheap
-            # map-side agg; the capped count is the stage's recorded rows.
+            # band_buckets emits exactly lsh_bands rows per signature, so
+            # the raw (pre-cap) census is sigs_rows * lsh_bands — no extra
+            # Spark job. On a resumed run the signatures stage was skipped
+            # (rows=-1); fall back to an empty-projection count over the
+            # checkpointed sigs parquet (footer-only scan), still never
+            # re-executing the band explode.
             capped_rows = next(
                 (m["rows"] for m in reversed(r.metrics) if m["stage"] == "bands"),
                 -1,
             )
             if capped_rows >= 0:
-                raw_rows = minhash.band_buckets(sigs, cfg).count()
+                sig_rows = next(
+                    (
+                        m["rows"]
+                        for m in reversed(r.metrics)
+                        if m["stage"] == "signatures" and m["rows"] >= 0
+                    ),
+                    None,
+                )
+                if sig_rows is None:
+                    sig_rows = sigs.count()
                 r.metrics.append(
                     {
                         "stage": "bands_dropped_by_cap",
                         "skipped": False,
                         "seconds": 0.0,
-                        "rows": raw_rows - capped_rows,
+                        "rows": sig_rows * cfg.lsh_bands - capped_rows,
                     }
                 )
         e = r.stage(
@@ -285,7 +377,7 @@ def dedup(
                 minhash.candidate_pairs(bands, cfg), sigs, cfg_verify
             ),
         )
-        edge_frames.append(e.select("id_a", "id_b", "jaccard"))
+        edge_frames.append(_edge_cols(e, transitive=False))
     if "simhash" in tiers:
         e = r.stage(
             "edges_simhash",
@@ -293,7 +385,7 @@ def dedup(
                 "jaccard", 1.0 - F.col("hamming") / F.lit(60.0)
             ),
         )
-        edge_frames.append(e.select("id_a", "id_b", "jaccard"))
+        edge_frames.append(_edge_cols(e, transitive=False))
     if "substring" in tiers:
         e = r.stage(
             "edges_substring",
@@ -301,7 +393,7 @@ def dedup(
                 "jaccard", F.lit(1.0)  # shared-span edges are hard links
             ),
         )
-        edge_frames.append(e.select("id_a", "id_b", "jaccard"))
+        edge_frames.append(_edge_cols(e, transitive=False))
     if not edge_frames:
         raise ValueError("at least one tier required")
 
@@ -314,31 +406,17 @@ def dedup(
         all_edges = edge_frames[0]
         for f in edge_frames[1:]:
             all_edges = all_edges.unionByName(f)
-        # same pair from several tiers: keep max similarity
-        merged = all_edges.groupBy("id_a", "id_b").agg(
-            F.max("jaccard").alias("jaccard")
-        )
+        # same pair from several tiers: keep max similarity; a pair is
+        # transitive if ANY tier proved it by equality (max over booleans)
+        aggs = [F.max("jaccard").alias("jaccard")]
+        if tag_transitive:
+            aggs.append(F.max("transitive").alias("transitive"))
+        merged = all_edges.groupBy("id_a", "id_b").agg(*aggs)
 
     if cfg.lang_thresholds:
-        # per-language refinement: an edge stands iff it clears BOTH
-        # endpoints' language thresholds (segment-specific THRESHOLDS,
-        # reference config_setup.py:154-184). The lang lookup is a narrow
-        # (url, threshold) projection — broadcastable when small, and the
-        # join keys are the same ids the edges already shuffle on.
-        thr_map = F.create_map(
-            *[F.lit(x) for kv in cfg.lang_thresholds.items() for x in kv]
-        )
-        thr = F.coalesce(
-            thr_map[F.col("lang")], F.lit(cfg.jaccard_threshold)
-        ).alias("_thr")
-        langs = narrow.select(F.col("url"), thr)
-        la = langs.select(F.col("url").alias("id_a"), F.col("_thr").alias("_thr_a"))
-        lb = langs.select(F.col("url").alias("id_b"), F.col("_thr").alias("_thr_b"))
-        refined = (
-            merged.join(la, "id_a")
-            .join(lb, "id_b")
-            .where(F.col("jaccard") >= F.greatest("_thr_a", "_thr_b"))
-            .select("id_a", "id_b", "jaccard")
+        refined = refine_edges_by_lang(
+            merged, narrow, cfg,
+            extra_cols=("transitive",) if tag_transitive else (),
         )
     else:
         refined = merged

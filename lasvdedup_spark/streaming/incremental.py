@@ -62,7 +62,11 @@ def read_index_pruned(
         idx = spark.read.option("basePath", index_dir).parquet(index_dir)
     except AnalysisException:
         return None
-    if parts is not None:
+    # Legacy-layout fallback: an index written by the pre-partitioned
+    # layout has no 'part' column — pruning would raise AnalysisException
+    # on every micro-batch after a resume. Full-scan instead (correct,
+    # just unpruned) until compact_index() rewrites it.
+    if parts is not None and "part" in idx.columns:
         idx = idx.where(F.col("part").isin(parts))
     return idx
 
@@ -178,6 +182,55 @@ def incremental_dedup_query(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_index(spark: SparkSession, work_dir: str) -> dict:
+    """Rewrite the accumulated band index from its per-epoch layout
+    (``batch_id=N/part=P`` — one directory tree per micro-batch) into a
+    single ``batch_id=-1/part=P`` tree.
+
+    The per-epoch layout is what makes epoch replays idempotent, but its
+    file-listing cost grows linearly with batch count; after compaction the
+    next batch's pruned read lists one tree plus whatever epochs arrived
+    since. Idempotent and crash-safe in the maintenance-job sense: the
+    compacted tree is fully written (to a sibling temp dir) before any old
+    epoch directory is removed; a crash in between leaves duplicate index
+    rows, which the pair verify de-duplicates (``_verify`` ends in
+    distinct()), and a re-run converges. Run it between stream runs, not
+    concurrently with one. On Iceberg this whole function is
+    ``rewrite_data_files`` (compaction) — the driver-side fs calls below
+    are the sandbox's parquet-directory stand-in for that table service.
+
+    Returns {"batches_compacted": int, "rows": int}.
+    """
+    import shutil
+
+    index_dir = os.path.join(work_dir, "index")
+    idx = read_index_pruned(spark, index_dir, None)
+    if idx is None:
+        return {"batches_compacted": 0, "rows": 0}
+    epoch_dirs = [
+        d
+        for d in os.listdir(index_dir)
+        if d.startswith("batch_id=") and d != "batch_id=-1"
+    ]
+    if not epoch_dirs:
+        return {"batches_compacted": 0, "rows": 0}
+
+    tmp = os.path.join(work_dir, "_index_compact_tmp")
+    cols = [c for c in idx.columns if c != "batch_id"]
+    out = idx.select(*cols)
+    if "part" not in out.columns:  # legacy un-partitioned layout: add it
+        out = _with_part(out)
+    out.write.mode("overwrite").partitionBy("part").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+
+    for d in [*epoch_dirs, "batch_id=-1"]:
+        p = os.path.join(index_dir, d)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    os.rename(tmp, os.path.join(index_dir, "batch_id=-1"))
+    return {"batches_compacted": len(epoch_dirs), "rows": rows}
 
 
 def read_pairs(spark: SparkSession, work_dir: str) -> DataFrame:

@@ -133,3 +133,37 @@ def test_per_partition_lineage_written(spark, sf_dir, tmp_path):
     sig_rows = lineage.where(lineage.stage == "signatures").groupBy().sum("rows").collect()[0][0]
     assert sig_rows == spark.read.parquet(os.path.join(root, "signatures")).count()
     assert {"stage", "config_fingerprint", "output_file", "rows", "logged_at"} == set(lineage.columns)
+
+
+def test_dry_run_respects_call_key_and_force(spark, sf_dir, tmp_path):
+    """stage_plan must read done-ness from the SAME checkpoint address
+    dedup() uses: after a default-tier run, --tiers exact,minhash reports
+    its stages as NOT done (different call_key directory), a re-plan of the
+    default tiers reports done, and force=True reports everything to-run
+    (round-2 defect: stage_plan keyed on cfg.fingerprint() alone)."""
+    from lasvdedup_spark.pipeline import dedup, stage_plan
+    from lasvdedup_spark.sources.pages import synth_pages_with_dups
+
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    pages, _ = synth_pages_with_dups(spark, sf_dir)
+    dedup(spark, pages, cfg).count()  # default tiers=("minhash",)
+
+    assert all(s["done"] for s in stage_plan(cfg))
+    assert all(s["done"] for s in stage_plan(cfg, ("minhash",)))
+    # different tiers -> different checkpoint address -> nothing done
+    other = stage_plan(cfg, ("exact", "minhash"))
+    assert not any(s["done"] for s in other)
+    assert [s["stage"] for s in other] == [
+        "narrow", "edges_exact", "signatures", "bands", "pairs",
+        "edges", "components", "classifications",
+    ]
+    # quality_cols change the address too
+    assert not any(s["done"] for s in stage_plan(cfg, ("minhash",), ("q",)))
+    # force reports everything as to-run even when checkpoints exist
+    assert not any(s["done"] for s in stage_plan(cfg, force=True))
+
+    # and after running those tiers, THEIR plan flips to done while the
+    # default plan stays done (addresses are disjoint)
+    dedup(spark, pages, cfg, tiers=("exact", "minhash")).count()
+    assert all(s["done"] for s in stage_plan(cfg, ("exact", "minhash")))
+    assert all(s["done"] for s in stage_plan(cfg))

@@ -111,3 +111,71 @@ def test_xxhash_family_end_to_end(spark):
              minhash_dup_pairs(pages, DedupConfig(hash_family="xxhash64")).collect()}
     assert ("u/a", "u/b") in pairs
     assert not any("u/c" in p for p in pairs)
+
+
+def test_simhash_salted_equals_plain(spark):
+    """A 200-copy near-identical cluster shares ALL simhash band values —
+    the worst skew shape (round-2's unsalted band join put 4*m^2/2 rows in
+    four tasks). The salted path must return the identical pair set."""
+    from lasvdedup_spark.operators.simhash import simhash_dup_pairs
+
+    boiler = "terms of service apply to all users of this site always and forever"
+    rows = [(f"u/b{i:03d}", boiler) for i in range(200)]
+    rows += [(f"u/d{i}", f"distinct {i} " + " ".join(f"w{i}x{j}" for j in range(20)))
+             for i in range(10)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    plain = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in simhash_dup_pairs(pages, DedupConfig(salt_buckets=1)).collect()}
+    salted = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_dup_pairs(
+                  pages, DedupConfig(salt_buckets=4, skew_bucket_cutoff=16)
+              ).collect()}
+    assert plain == salted
+    boiler_pairs = {p for p in plain if p[0].startswith("u/b") and p[1].startswith("u/b")}
+    assert len(boiler_pairs) == 200 * 199 // 2
+    assert all(p[2] == 0 for p in boiler_pairs)
+
+
+def test_simhash_pair_join_is_salted_union(spark):
+    """Plan pin: simhash pair generation routes through salted_pair_join —
+    the physical plan contains the salted-union shape (a Union of the
+    left_anti small path and the salt-exploded big path), not a bare
+    band self-join."""
+    pages = spark.createDataFrame(
+        [("u/a", "alpha beta gamma delta"), ("u/b", "alpha beta gamma delta")],
+        "url string, text string",
+    )
+    from lasvdedup_spark.operators.simhash import simhash_dup_pairs
+
+    plan = (
+        simhash_dup_pairs(pages, DedupConfig(salt_buckets=4))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Union" in plan
+    assert "_salt" in plan
+
+
+def test_span_lengths_fanout_follows_config(spark):
+    """The span kernel's parallelism must follow num_partitions (round-2's
+    fixed 64-bucket grouped map capped parallelism and made per-group
+    memory proportional to pairs/64)."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from lasvdedup_spark.operators.substring import span_lengths
+
+    pages = spark.createDataFrame(
+        [(f"u/{i}", f"alpha beta gamma delta tail{i}") for i in range(40)],
+        "url string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(f"u/{i}", f"u/{i+1}") for i in range(0, 38, 2)], "id_a string, id_b string"
+    )
+    wide = span_lengths(pages, pairs, num_partitions=96)
+    assert wide.rdd.getNumPartitions() == 96
+    # default pulls the session's shuffle partitions, not a hard-coded 64
+    dflt = span_lengths(pages, pairs)
+    expected = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert dflt.rdd.getNumPartitions() == expected
+    # results identical across fan-outs
+    a = {(r["id_a"], r["id_b"], r["span_len"]) for r in wide.collect()}
+    b = {(r["id_a"], r["id_b"], r["span_len"]) for r in dflt.collect()}
+    assert a == b and len(a) == 19

@@ -126,3 +126,56 @@ def test_sig_bands_is_streaming_composable(spark, tmp_path):
     bands = sig_bands(stream, DedupConfig())
     assert bands.isStreaming
     assert set(bands.columns) == {"id", "sig", "bucket"}
+
+
+def test_compact_index_preserves_pairs_and_shrinks_listing(spark, tmp_path):
+    """compact_index rewrites batch_id=N/part=P epoch trees into one
+    batch_id=-1 tree: same pairs before/after (including for NEW batches
+    joining against the compacted index), fewer directories listed."""
+    from lasvdedup_spark.streaming.incremental import compact_index
+
+    input_dir = str(tmp_path / "in")
+    work_dir = str(tmp_path / "work")
+    cfg = DedupConfig()
+    _write_batch(spark, input_dir, "b1", [_page("u/a1", TEXT_A), _page("u/b1", TEXT_B)])
+    _write_batch(spark, input_dir, "b2", [_page("u/a2", TEXT_A)])
+    _write_batch(spark, input_dir, "b3", [_page("u/c1", TEXT_C)])
+    q = incremental_dedup_query(spark, input_dir, work_dir, cfg)
+    q.awaitTermination(120)
+    index_dir = os.path.join(work_dir, "index")
+    before_dirs = [d for d in os.listdir(index_dir) if d.startswith("batch_id=")]
+    assert len(before_dirs) == 3
+    idx_before = read_index_pruned(spark, index_dir, None)
+    rows_before = {(r["id"], r["bucket"]) for r in idx_before.select("id", "bucket").collect()}
+
+    res = compact_index(spark, work_dir)
+    assert res["batches_compacted"] == 3 and res["rows"] == len(rows_before)
+    after_dirs = [d for d in os.listdir(index_dir) if d.startswith("batch_id=")]
+    assert after_dirs == ["batch_id=-1"]
+    idx_after = read_index_pruned(spark, index_dir, None)
+    rows_after = {(r["id"], r["bucket"]) for r in idx_after.select("id", "bucket").collect()}
+    assert rows_after == rows_before
+
+    # idempotent: second compaction is a no-op
+    assert compact_index(spark, work_dir)["batches_compacted"] == 0
+
+    # a NEW batch still finds cross-batch duplicates against the compacted index
+    _write_batch(spark, input_dir, "b4", [_page("u/a3", TEXT_A)])
+    q2 = incremental_dedup_query(spark, input_dir, work_dir, cfg)
+    q2.awaitTermination(120)
+    pairs = {(r["id_a"], r["id_b"]) for r in read_pairs(spark, work_dir).collect()}
+    assert ("u/a1", "u/a3") in pairs and ("u/a2", "u/a3") in pairs
+
+
+def test_read_index_pruned_legacy_layout_no_crash(spark, tmp_path):
+    """An index directory written WITHOUT the part column (pre-partitioned
+    layout) must full-scan instead of raising AnalysisException on the
+    pruned read path."""
+    legacy = str(tmp_path / "legacy_index")
+    df = spark.createDataFrame(
+        [("u/x", [1, 2], 7), ("u/y", [3, 4], 9)], "id string, sig array<int>, bucket long"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(legacy, "batch_id=0"))
+    idx = read_index_pruned(spark, legacy, [7 % N_INDEX_PARTS])
+    assert idx is not None
+    assert idx.count() == 2  # unpruned full scan, not a crash
