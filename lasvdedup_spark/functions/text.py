@@ -48,14 +48,46 @@ def extract_text_udf():
     """Arrow-vectorized HTML -> text extraction (batch regex, no per-row
     Python loop in user code; pandas .str ops are the vector kernel).
 
+    Two-phase, both deterministic (pure functions of the html bytes, so the
+    per-url byte-identical invariant holds):
+
+      1. the synthetic-template fast path (one vectorized regex — and the
+         form the SQL twin can replicate byte-for-byte);
+      2. a general fallback for rows the template misses — real
+         Common-Crawl-style HTML with nested tags, entities, comments,
+         broken markup: strip <script>/<style>/comments, strip all tags,
+         decode entities, collapse whitespace. The reference analog is the
+         FASTA parse every run starts from
+         (/root/reference/lasvdedup/utils/determine_duplicates.py:145) —
+         input normalization before any distance math.
+
+    The fallback is pandas .str regex ops except entity decoding
+    (html.unescape has no vectorized form; it runs only on the
+    fallback-and-contains-'&' subset, still inside the Arrow batch).
+
     Factory (not module-level decoration): pandas_udf resolves its return
     type against the active SparkSession, which need not exist at import.
     """
+    import html as _htmllib
 
     @pandas_udf("string")
     def _extract(html: pd.Series) -> pd.Series:
         s = html.apply(lambda b: b.decode("utf-8", errors="replace"))
-        return s.str.extract(_EXTRACT_RE, expand=False).fillna("")
+        out = s.str.extract(_EXTRACT_RE, expand=False)
+        miss = out.isna()
+        if miss.any():
+            fb = s[miss]
+            fb = fb.str.replace(
+                r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ", regex=True
+            )
+            fb = fb.str.replace(r"(?s)<!--.*?-->", " ", regex=True)
+            fb = fb.str.replace(r"(?s)<[^>]*>", " ", regex=True)
+            has_ent = fb.str.contains("&", regex=False)
+            if has_ent.any():
+                fb.loc[has_ent] = fb[has_ent].map(_htmllib.unescape)
+            fb = fb.str.replace(r"\s+", " ", regex=True).str.strip()
+            out = out.where(~miss, fb)
+        return out.fillna("")
 
     return _extract
 

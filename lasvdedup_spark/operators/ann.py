@@ -207,6 +207,55 @@ def ivf_centroids(
     )
 
 
+def ivf_lloyd_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd refinement of the seeded centroids: n_iters
+    rounds of (assign every vector to its nearest centroid, recentre each
+    centroid at the element-wise mean of its list). Everything that could
+    break determinism is pinned: seeds are the n lowest-id vectors,
+    assignment ties break by cid ascending (ivf_assign's window), the mean
+    is an exact per-dimension float64 average, and an emptied centroid
+    keeps its previous position instead of being resampled. So the same
+    input always trains the same centroids on any partitioning — the same
+    property the minhash permutation seeding guarantees (config.py:30-43).
+
+    Shuffle shape per round: the narrow (cid, pos, val) explode —
+    n_vectors * dim rows of 3 scalar columns — aggregated by (cid, pos)
+    with map-side partial averages; the wide vector column itself never
+    shuffles. Driver loop of n_iters (1-2 in practice) eager-checkpointed
+    rounds, mirroring the CC fixpoint pattern (components.py).
+    -> (cid, cvec: array<double>)."""
+    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col).select(
+        "cid", F.expr("transform(cvec, x -> cast(x as double))").alias("cvec")
+    )
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    for _ in range(n_iters):
+        assign = ivf_assign(vectors, cents, 1, id_col, vec_col).select("id", "cid")
+        means = (
+            assign.join(v, "id")
+            .select("cid", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cid",
+                F.expr("transform(pm, x -> cast(x.m as double))").alias("new_cvec"),
+            )
+        )
+        cents = (
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -241,13 +290,22 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k self-search: every vector is indexed in
     its nearest centroid's list; each query probes its n_probe nearest
     lists and scores only those candidates. The equi-join on cid replaces
     the brute-force cross join — candidates/query ~ n_probe * n / K.
+    lloyd_iters > 0 trains the centroids first (deterministic Lloyd,
+    production path — recall at equal n_probe only improves when lists
+    follow the data); 0 keeps the raw seeds the DuckDB oracle replicates.
     -> (qid, tid, pos, score)."""
-    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    if lloyd_iters > 0:
+        cents = ivf_lloyd_centroids(
+            vectors, n_centroids, lloyd_iters, id_col, vec_col
+        )
+    else:
+        cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     index = ivf_assign(vectors, cents, 1, id_col, vec_col).select(
         F.col("id").alias("tid"), "cid"
     )

@@ -143,3 +143,52 @@ def test_knn_bruteforce_exact_topk(spark, planted):
     assert len(top) == 3
     assert top[0]["tid"] == 1000  # vec 0's planted near-dup is its 1-NN
     assert top[0]["score"] > 0.9
+
+
+def test_ivf_lloyd_recall_ge_seeded(spark):
+    """Deterministic Lloyd training must not lose recall vs raw seeds at
+    equal n_probe — and on clustered data with off-centre seeds it should
+    gain. Fixture: 8 well-separated gaussian clusters, ids round-robin so
+    the 8 lowest-id seeds land one-per-cluster but offset from the centres."""
+    from lasvdedup_spark.operators.ann import ivf_lloyd_centroids, ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, DIM)) * 10.0
+    rows = []
+    for i in range(400):
+        c = i % 8  # round-robin: seeds (ids 0..7) span all clusters
+        rows.append((i, (centers[c] + rng.standard_normal(DIM)).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    truth = {
+        (r["qid"], r["tid"])
+        for r in knn_bruteforce(
+            vecs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+            vecs.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tvec")),
+            6,
+        ).where(F.col("qid") != F.col("tid")).collect()
+    }
+
+    def recall(lloyd_iters):
+        got = {
+            (r["qid"], r["tid"])
+            for r in ivf_topk(vecs, 8, 5, n_probe=1, lloyd_iters=lloyd_iters).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_seed, r_lloyd = recall(0), recall(2)
+    assert r_lloyd >= r_seed, (r_lloyd, r_seed)
+    assert r_lloyd >= 0.9
+
+    # training is deterministic: same input -> identical centroids twice
+    c1 = sorted(ivf_lloyd_centroids(vecs, 8, 2).collect())
+    c2 = sorted(ivf_lloyd_centroids(vecs.repartition(5), 8, 2).collect())
+    assert [r["cid"] for r in c1] == [r["cid"] for r in c2]
+    for a, b in zip(c1, c2):
+        assert a["cvec"] == pytest.approx(b["cvec"], abs=1e-12)
+    # and the centroids actually moved off the seeds
+    seeds = {r["cid"]: r["cvec"] for r in spark.createDataFrame(
+        rows[:8], "vec_id long, embedding array<double>"
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")).collect()}
+    moved = sum(1 for r in c1 if list(r["cvec"]) != list(seeds[r["cid"]]))
+    assert moved == 8

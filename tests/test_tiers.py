@@ -138,3 +138,57 @@ def test_lgram_sampling_subset(spark, docs):
     assert 0 < n_samp < n_full
     # sampled grams are a subset of full grams
     assert samp.exceptAll(full).count() == 0
+
+
+def test_extract_text_real_world_html(spark):
+    """Beyond the synthetic template: nested tags, entities, script/style
+    blocks, comments, and broken markup must extract non-empty,
+    deterministic text (round-2 gap: anything off-template extracted to ""
+    — violating the per-url byte-identical invariant for real HTML)."""
+    cases = [
+        ("u/nested",
+         b"<html><body><div><p>Hello <b>bold</b> world</p><p>second para</p></div></body></html>",
+         "Hello bold world second para"),
+        ("u/entities",
+         b"<html><body>fish &amp; chips &lt;tag&gt; &#233;t&#233;</body></html>",
+         "fish & chips <tag> \xe9t\xe9"),
+        ("u/script",
+         b"<html><head><script>var x = '<p>no</p>';</script><style>p{color:red}</style></head><body>real content</body></html>",
+         "real content"),
+        ("u/comment",
+         b"<html><body><!-- hidden <p>no</p> -->visible text</body></html>",
+         "visible text"),
+        ("u/broken",
+         b"<html><body><p>unclosed paragraph <div>and <b>nested",
+         "unclosed paragraph and nested"),
+        ("u/attrs",
+         b'<html><body><a href="http://x.com/a?b=c&d=e">link text</a> tail</body></html>',
+         "link text tail"),
+    ]
+    df = spark.createDataFrame(
+        [(u, h) for u, h, _ in cases], "url string, html binary"
+    )
+    got = {
+        r["url"]: r["txt"]
+        for r in df.select("url", extract_text_udf()(F.col("html")).alias("txt")).collect()
+    }
+    for u, _, want in cases:
+        assert got[u] == want, (u, got[u], want)
+    # deterministic: identical bytes under two urls extract byte-identically
+    df2 = spark.createDataFrame(
+        [("a", cases[0][1]), ("b", cases[0][1])], "url string, html binary"
+    ).repartition(2)
+    vals = [r["t"] for r in df2.select(extract_text_udf()(F.col("html")).alias("t")).collect()]
+    assert vals[0] == vals[1]
+
+
+def test_extract_text_template_path_unchanged(spark, docs):
+    """The fallback must not perturb the template fast path: synthetic pages
+    still extract byte-identical to the original text."""
+    pages = pages_from_documents(docs.limit(200))
+    bad = (
+        pages.select("text", extract_text_udf()(F.col("html")).alias("got"))
+        .where(F.col("got") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
