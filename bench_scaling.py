@@ -70,6 +70,12 @@ def child(cpus: int) -> None:
             # which both parallelism levels saturate identically — a
             # single-node artifact (cluster shuffle disks scale with nodes).
             "spark.local.dir": "/dev/shm/spark_local",
+            # Broadcast sizing that matches the 48g JVM: the narrow int32
+            # signature table (~70 MB at expand=300) broadcasts into the
+            # verify joins, removing four exchanges from the post-signature
+            # pipeline. Same knob a real 1000-executor deployment tunes to
+            # its executor memory; AQE still decides per runtime stats.
+            "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -74,7 +74,7 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, assume_distinct: bool = False
 ) -> DataFrame:
     """edges(src, dst) -> assignments(id, component) for every node that
     appears in an edge; component = min id in the component.
@@ -82,11 +82,21 @@ def connected_components(
     Callers union in singleton nodes themselves (left join vs node table) —
     the operator only sees the graph, mirroring how the reference's
     cluster_sequences receives only the group's sequences.
+
+    assume_distinct=True skips the defensive de-dup exchange of the input
+    edge set. Every pipeline tier already emits distinct unordered pairs
+    (salted_pair_join ends in a groupBy, exact star edges are one row per
+    member, and the cross-tier merge is itself a groupBy), so the pipeline
+    passes True and saves a full shuffle of the edges. Duplicate edges would not corrupt the
+    RESULT (the star operations re-distinct each round) — only the
+    first-round cost — but the flag should still be set truthfully.
     """
     e = edges.select(
         F.col(edges.columns[0]).cast("string").alias("src"),
         F.col(edges.columns[1]).cast("string").alias("dst"),
-    ).where(F.col("src") != F.col("dst")).distinct()
+    ).where(F.col("src") != F.col("dst"))
+    if not assume_distinct:
+        e = e.distinct()
     e = e.localCheckpoint(eager=True)
 
     prev = None
@@ -110,12 +120,13 @@ def connected_components(
 
 
 def assign_components(
-    all_ids: DataFrame, edges: DataFrame, id_col: str = "url"
+    all_ids: DataFrame, edges: DataFrame, id_col: str = "url",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(id, component) for EVERY row in all_ids; nodes without edges become
     their own singleton component (reference Case 1 SingleSequence feed,
     sequence_grouping.py:210-221)."""
-    comp = connected_components(edges)
+    comp = connected_components(edges, assume_distinct=assume_distinct)
     ids = all_ids.select(F.col(id_col).cast("string").alias("id")).distinct()
     return ids.join(comp, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")

@@ -138,9 +138,12 @@ def minhash_dup_pairs(
     and the verify side, and Spark has no cross-subtree common-subexpression
     reuse — an un-materialized sigs subtree executes twice per action."""
     if sigs is None:
-        # sigs feed the band side AND both verify joins — cache, don't
-        # recompute the (dominant) signature map three times per action
-        sigs = signatures(pages, cfg, id_col).localCheckpoint(eager=False)
+        # sigs feed the band side AND both verify joins — and those are
+        # SIBLING stages of the same downstream job, so a lazy cache races
+        # (each concurrent stage computes the uncached subtree; measured as
+        # 2x the signature map work in the scaling profile). Eager: compute
+        # once now, siblings read the cache.
+        sigs = signatures(pages, cfg, id_col).localCheckpoint(eager=True)
     bkts = capped_buckets(band_buckets(sigs, cfg), cfg)
     cand = candidate_pairs(bkts, cfg)
     return verified_pairs(cand, sigs, cfg)

@@ -89,9 +89,10 @@ def simhash_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -
         )
     from lasvdedup_spark.operators.pairs import salted_pair_join
 
-    # sh feeds the band side AND both verify joins -> lazy cache, no
-    # cross-subtree CSE in Spark (see minhash_dup_pairs)
-    sh = simhash(pages, id_col).localCheckpoint(eager=False)
+    # sh feeds the band side AND both verify joins — sibling stages of one
+    # job race on a lazy cache and compute the fold twice; eager runs it
+    # once (see minhash_dup_pairs)
+    sh = simhash(pages, id_col).localCheckpoint(eager=True)
     keyed = simhash_bands(sh).select(
         "id",
         (

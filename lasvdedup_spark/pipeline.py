@@ -74,19 +74,33 @@ class StageRunner:
         )
 
     def stage(
-        self, name: str, fn: Callable[[], DataFrame], heavy: bool = False
+        self,
+        name: str,
+        fn: Callable[[], DataFrame],
+        heavy: bool = False,
+        eager: bool = False,
     ) -> DataFrame:
         """Run-or-resume one stage. Without a checkpoint_dir this is a
         pass-through (pure lazy DataFrame composition) — except heavy=True
-        stages, which get a lazy localCheckpoint: they are consumed by
-        several downstream subtrees (components AND classification both read
+        stages, which get a localCheckpoint: they are consumed by several
+        downstream subtrees (components AND classification both read
         edges), and without truncation every downstream action re-executes
-        the whole signature/band/join pipeline once per reference."""
+        the whole signature/band/join pipeline once per reference.
+
+        eager=True additionally materializes the checkpoint NOW. Use it
+        when the stage is consumed by SIBLING stages of one downstream job:
+        a lazy cache only dedups work across SEQUENTIAL actions — two
+        concurrent stages of the same job (the band-bucket side and the
+        verify-join side both hang off signatures) race on the cold cache
+        and each computes the full subtree (~2x the dominant map work;
+        measured as two concurrent 96-task stages of equal duration in the
+        scaling profile, BENCH.md round 3). Eager materialization runs the
+        subtree exactly once, and the sibling stages then read the cache."""
         t0 = time.time()
         if self.root is None:
             df = fn()
             if heavy:
-                df = df.localCheckpoint(eager=False)
+                df = df.localCheckpoint(eager=eager)
             self.metrics.append({"stage": name, "skipped": False, "seconds": 0.0, "rows": -1})
             return df
         if self._done(name):
@@ -335,7 +349,12 @@ def dedup(
     if "minhash" in tiers:
         # the north rule's checkpoint stages: signatures -> bands -> pairs
         sigs = r.stage(
-            "signatures", lambda: minhash.signatures(narrow, cfg), heavy=True
+            "signatures",
+            lambda: minhash.signatures(narrow, cfg),
+            heavy=True,
+            eager=True,  # consumed by SIBLING stages (bands + both verify
+            # joins) of the first downstream job — lazy caching would let
+            # them race and compute signatures twice (see stage())
         )
         bands = r.stage(
             "bands", lambda: minhash.capped_buckets(minhash.band_buckets(sigs, cfg), cfg)
@@ -425,16 +444,26 @@ def dedup(
 
     assignments = r.stage(
         "components",
-        lambda: components.assign_components(narrow, edges),
+        # assume_distinct: every tier ends in a groupBy (or the merge is
+        # one), so the defensive de-dup exchange inside CC is redundant here
+        lambda: components.assign_components(narrow, edges, assume_distinct=True),
         heavy=True,
     )
 
     stats = narrow.select(F.col("url").alias("id"), "n_chars", *quality_cols)
-    out = r.stage(
-        "classifications",
-        lambda: C.classify(
+
+    def _classifications() -> DataFrame:
+        df = C.classify(
             assignments, edges, stats, cfg, quality_cols=quality_cols
-        ).withColumnRenamed("id", "url").orderBy("url"),
-    )
+        ).withColumnRenamed("id", "url")
+        # ORDER BY url is the *sink* contract (reference TSV output,
+        # io_utils.py:111-144; cli.py re-sorts before writing). Materialize
+        # it only where rows persist — the checkpoint parquet. Forcing the
+        # range-shuffle + global sort into the pass-through plan would tax
+        # every in-memory consumer (sample job + extra exchange) for an
+        # ordering DataFrames don't guarantee across transformations anyway.
+        return df.orderBy("url") if r.root is not None else df
+
+    out = r.stage("classifications", _classifications)
     r.write_metrics()
     return out

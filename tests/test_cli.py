@@ -167,3 +167,42 @@ def test_dry_run_respects_call_key_and_force(spark, sf_dir, tmp_path):
     dedup(spark, pages, cfg, tiers=("exact", "minhash")).count()
     assert all(s["done"] for s in stage_plan(cfg, ("exact", "minhash")))
     assert all(s["done"] for s in stage_plan(cfg))
+
+
+def test_iceberg_write_path_runs_or_skips(spark, tmp_path):
+    """The production writeTo(...).partitionedBy(...) path must at least
+    EXECUTE wherever a catalog exists; in this sandbox (no Iceberg runtime
+    jar) it must fail with the catalog/provider error — never a code bug in
+    our call chain. Skip (not pass) when the environment lacks the jar, so
+    the test is active on any real deployment."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("u/a", "good"), ("u/b", "bad")], "url string, classification string"
+    )
+    from lasvdedup_spark.sinks import write_classifications
+
+    try:
+        write_classifications(df, iceberg_table="local.db.cls_test")
+    except Exception as e:  # noqa: BLE001 — inspect and re-raise below
+        msg = str(e)
+        if any(
+            s in msg
+            for s in (
+                "Catalog 'local' not found",
+                "CATALOG_NOT_FOUND",
+                "Cannot find catalog",
+                "TABLE_OR_VIEW_NOT_FOUND",
+                "DATA_SOURCE_NOT_FOUND",
+                # no Iceberg catalog plugin registered: the 'local' prefix
+                # resolves against spark_catalog, which rejects multi-part
+                # namespaces — the sandbox's signature of a missing jar
+                "REQUIRES_SINGLE_PART_NAMESPACE",
+                "iceberg",
+            )
+        ):
+            _pytest.skip(f"no Iceberg runtime in this environment: {msg[:120]}")
+        raise
+    # a real catalog existed: verify partitioned round-trip
+    back = spark.read.table("local.db.cls_test")
+    assert back.count() == 2
