@@ -86,6 +86,25 @@ def main() -> None:
     )
     timed("simhash_pairs", lambda: run_full(simhash.simhash_dup_pairs(narrow, cfg)))
 
+    from lasvdedup_spark.operators import substring
+
+    timed(
+        "substring_pairs",
+        lambda: run_full(substring.substring_dup_pairs(narrow, cfg)),
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        from lasvdedup_spark.operators.ann import cosine_dup_pairs, plane_tables
+
+        emb = spark.read.parquet(emb_path)
+        dim = len(emb.select("embedding").first()["embedding"])
+        tables = plane_tables(4, 8, dim)
+        timed(
+            "ann_cosine_pairs",
+            lambda: run_full(cosine_dup_pairs(emb, tables, threshold=0.8)),
+        )
+
     n_classified = None
 
     def run_e2e():

@@ -506,6 +506,77 @@ from m8
 """
 
 
+def q_exact_tier_classifications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade fed by the EXACT tier's transitive star edges (m-1 per
+    m-clique). Pins the round-3 completeness fix: hash equality is
+    transitive, so classify counts the implied C(m,2) pairs and every
+    multi-doc identical cluster lands in BelowThreshold (one rep kept) —
+    never TrueCoinfection (the round-2 silent-failure mode). The DuckDB
+    twin derives the same verdicts from first principles: components ==
+    md5 groups, all pairwise similarities within a group are 1.0."""
+    from lasvdedup_spark.operators.classify import classify
+    from lasvdedup_spark.operators.components import assign_components
+    from lasvdedup_spark.operators.exact import exact_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    edges = exact_dup_pairs(docs, id_col="doc_id").select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
+        F.lit(True).alias("transitive"),
+    )
+    assignments = assign_components(
+        docs,
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+        assume_distinct=True,
+    )
+    stats = docs.select(F.col("doc_id").cast("string").alias("id"), "n_chars")
+    out = classify(assignments, edges, stats, CFG)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "classification",
+        "decision_category",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("dist_to_target").cast("long").alias("dist_to_target"),
+        "cluster_size",
+        F.col("rep_id").cast("long").alias("rep_id"),
+    )
+
+
+# Exact-tier ground truth needs no graph iteration: a component IS an
+# md5 group, every within-group pair is at similarity 1.0, so m>1 groups
+# are pairwise-complete (BelowThreshold: rank-1 member good, rest bad)
+# and singletons are SingleSequence. Ranks/reps compare over VARCHAR ids
+# like the engine's url id space; identical text => identical n_chars =>
+# rank order reduces to id order within a group.
+O_EXACT_TIER_CLASSIFICATIONS = f"""
+with comp0 as (
+  select cast(doc_id as varchar) as id, n_chars,
+         min(cast(doc_id as varchar)) over (partition by md5(text)) as component,
+         count(*) over (partition by md5(text)) as cluster_size
+  from documents),
+ranked as (
+  select *, abs(n_chars - {CFG.target_length}) as dist_to_target,
+         row_number() over (partition by component
+            order by abs(n_chars - {CFG.target_length}) asc, id asc) as rank
+  from comp0),
+final as (
+  select *,
+    min(case when rank = 1 then id end) over (partition by component) as rep_id,
+    case when cluster_size = 1 then 'SingleSequence'
+         else 'BelowThreshold' end as decision_category,
+    case when cluster_size = 1 then 'good'
+         when rank = 1 then 'good' else 'bad' end as classification
+  from ranked)
+select cast(id as bigint) as doc_id, cast(component as bigint) as component,
+       classification, decision_category, rank, dist_to_target, cluster_size,
+       cast(rep_id as bigint) as rep_id
+from final
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min 60-bit hash over the doc's
     token L-grams (winnowing min-sample, L = substring_min_tokens)."""
@@ -1315,6 +1386,7 @@ QUERIES = {
     "dup_pairs_verified": q_dup_pairs_verified,
     "dup_clusters": q_dup_clusters,
     "classifications": q_classifications,
+    "exact_tier_classifications": q_exact_tier_classifications,
     "doc_fingerprints": q_doc_fingerprints,
     "substring_candidate_pairs": q_substring_candidate_pairs,
     "substring_span_lengths": q_substring_span_lengths,
@@ -1352,6 +1424,7 @@ ORACLES = {
     "dup_pairs_verified": O_DUP_PAIRS_VERIFIED,
     "dup_clusters": O_DUP_CLUSTERS,
     "classifications": _o_classifications_sql(),
+    "exact_tier_classifications": O_EXACT_TIER_CLASSIFICATIONS,
     "doc_fingerprints": O_DOC_FINGERPRINTS,
     "substring_candidate_pairs": O_SUBSTRING_CANDIDATE_PAIRS,
     "substring_span_lengths": O_SUBSTRING_SPAN_LENGTHS,

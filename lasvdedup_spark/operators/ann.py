@@ -86,16 +86,22 @@ def knn_bruteforce(
 def hyperplane_bucket_expr(planes: list[list[int]], vec_col: str = "embedding"):
     """Bucket id = bits of sign(plane . vec), bit p worth 2^p.
 
-    Written as one textual sum per plane so evaluation order is fixed and
-    identical to the oracle's SQL."""
-    terms = []
+    Each plane's signs live in ONE constant array literal and the dot is a
+    zip_with + aggregate loop (same left-to-right double summation as the
+    oracle's textual sum, so the sign decisions agree bit-for-bit: the
+    only difference is the leading 0.0 + x0, exact in IEEE). The earlier
+    textually-unrolled form emitted dim x planes element_at terms into a
+    single generated method — past ~2k terms janino aborts with "Code
+    grows beyond 64 KB" and the whole stage silently falls back to
+    interpreted evaluation."""
+    vec = F.col(vec_col)
+    out = F.lit(0).cast("long")
     for p, row in enumerate(planes):
-        dot = " + ".join(
-            f"({s}) * cast(element_at({vec_col}, {d + 1}) as double)"
-            for d, s in enumerate(row)
-        )
-        terms.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
-    return F.expr(" + ".join(terms)).cast("long")
+        w = F.lit([float(s) for s in row])
+        prod = F.zip_with(vec, w, lambda x, s: x.cast("double") * s)
+        dot = F.aggregate(prod, F.lit(0.0), lambda acc, t: acc + t)
+        out = out + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return out.cast("long")
 
 
 def ann_buckets(vectors: DataFrame, planes: list[list[int]],
