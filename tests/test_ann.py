@@ -192,3 +192,41 @@ def test_ivf_lloyd_recall_ge_seeded(spark):
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")).collect()}
     moved = sum(1 for r in c1 if list(r["cvec"]) != list(seeds[r["cid"]]))
     assert moved == 8
+
+
+def test_hyperplane_bucket_codegen_compiles_at_real_dim(spark):
+    """Regression: the bucket expression must stay COMPILABLE at production
+    embedding widths. The old textually-unrolled dot product emitted
+    dim x planes element_at terms into one generated method; at
+    dim=768 x 32 planes janino aborted with "Code grows beyond 64 KB" and
+    the whole stage silently fell back to ~2.4x-slower interpreted eval.
+    codegen.fallback=false turns that silent fallback into a hard error,
+    and the numpy cross-check pins the sign semantics."""
+    import numpy as np
+
+    dim = 768
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(dim).tolist()) for i in range(8)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tables = plane_tables(4, 8, dim)
+
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows_out = ann_buckets_multi(vecs, tables).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+    got = {}
+    for r in rows_out:
+        got.setdefault(r["id"], []).append(r["bucket"])
+    for vid, emb in rows:
+        v = np.array(emb)
+        want = []
+        for t, planes in enumerate(tables):
+            b = sum(
+                (1 << p) for p, row in enumerate(planes)
+                if float(np.array(row, dtype=float) @ v) > 0
+            )
+            want.append(t * (1 << len(planes)) + b)
+        assert sorted(got[vid]) == sorted(want), vid
