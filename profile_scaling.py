@@ -25,9 +25,10 @@ def run() -> None:
     from lasvdedup_spark.session import get_spark
     from lasvdedup_spark.sources.pages import synth_pages_with_dups
 
+    import shutil
+
+    shutil.rmtree(LOGDIR, ignore_errors=True)
     os.makedirs(LOGDIR, exist_ok=True)
-    for f in glob.glob(f"{LOGDIR}/*"):
-        os.remove(f)
     spark = get_spark(
         app_name=f"lasvdedup_profile_{CPUS}",
         master=f"local[{CPUS}]",
@@ -64,13 +65,44 @@ def run() -> None:
 
 
 def parse(marker_ms: float) -> None:
-    files = glob.glob(f"{LOGDIR}/*")
+    # Spark 4 rolling event log: a DIRECTORY per app containing
+    # events_*.zstd parts (+ appstatus marker)
+    files = [
+        p
+        for p in glob.glob(f"{LOGDIR}/*") + glob.glob(f"{LOGDIR}/*/events_*")
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
     assert files, "no event log"
-    path = max(files, key=os.path.getmtime)
-    op = gzip.open if path.endswith(".gz") else open
     stages = []
-    with op(path, "rt") as f:
-        for line in f:
+
+    def lines():
+        for path in sorted(files):
+            if path.endswith(".zstd"):
+                import subprocess
+
+                out = subprocess.run(
+                    ["zstd", "-dc", path], capture_output=True, text=True
+                )
+                if out.returncode != 0:  # no zstd binary: try python lib
+                    import zstandard
+
+                    with open(path, "rb") as fh:
+                        yield from (
+                            zstandard.ZstdDecompressor()
+                            .stream_reader(fh)
+                            .read()
+                            .decode()
+                            .splitlines()
+                        )
+                    continue
+                yield from out.stdout.splitlines()
+            else:
+                op = gzip.open if path.endswith(".gz") else open
+                with op(path, "rt") as fh:
+                    yield from fh
+
+    if True:
+        for line in lines():
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
