@@ -63,6 +63,16 @@ EXEC_CORES = 4  # cores per executor JVM in executors mode
 EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "12288"))
 
 
+def _actual_cores(cpus: int) -> int:
+    """executors mode rounds to whole 4-core workers; report the cores the
+    level REALLY ran with, so the efficiency math never divides by a
+    nominal count the master string didn't grant (e.g. nominal 2 would
+    silently run 1x4 workers = 4 cores)."""
+    if MODE == "executors":
+        return max(1, cpus // EXEC_CORES) * EXEC_CORES
+    return cpus
+
+
 def _master(cpus: int) -> str:
     """threads: one JVM with `cpus` task threads (local[cpus]).
     executors: `cpus/4` SEPARATE executor JVMs x 4 cores
@@ -86,7 +96,7 @@ def child(cpus: int) -> None:
     spark = get_spark(
         app_name=f"lasvdedup_scaling_{cpus}",
         master=_master(cpus),
-        shuffle_partitions=max(2 * cpus, 16),
+        shuffle_partitions=max(2 * _actual_cores(cpus), 16),
         extra_conf={
             "spark.ui.enabled": "false",
             # executors mode: driver only plans/coordinates (+ builds the
@@ -145,7 +155,8 @@ def child(cpus: int) -> None:
         out.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         sec = dt if sec is None else min(sec, dt)
-    print(json.dumps({"cpus": cpus, "seconds": round(sec, 3), "n_docs": n_docs,
+    print(json.dumps({"cpus": _actual_cores(cpus), "seconds": round(sec, 3),
+                      "n_docs": n_docs,
                       "docs_per_sec": round(n_docs / sec, 1)}))
     spark.stop()
 

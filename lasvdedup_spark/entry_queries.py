@@ -87,20 +87,6 @@ _DK_SIGJ = (
     f" / {float(CFG.num_perms)}"
 )
 
-_DK_PAIRS_CTE = _DK_BANDS_CTE + f""",
-cand as (
-  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_bands
-  from bands a join bands b using (bucket)
-  where a.doc_id < b.doc_id
-  group by 1, 2),
-verified as (
-  select c.id_a, c.id_b, {_DK_SIGJ} as jaccard
-  from cand c
-  join sig sa on sa.doc_id = c.id_a
-  join sig sb on sb.doc_id = c.id_b
-  qualify jaccard >= {CFG.jaccard_threshold})
-"""
-# NB: DuckDB has QUALIFY; but keep it simple with a subquery instead:
 def _dk_pairs_cte(threshold: float) -> str:
     """Candidate+verified pairs CTE at an arbitrary verification threshold
     (the lang-thresholds query verifies at the FLOOR of all per-language

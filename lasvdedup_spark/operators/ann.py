@@ -225,10 +225,18 @@ def ivf_lloyd_centroids(
     centroid at the element-wise mean of its list). Everything that could
     break determinism is pinned: seeds are the n lowest-id vectors,
     assignment ties break by cid ascending (ivf_assign's window), the mean
-    is an exact per-dimension float64 average, and an emptied centroid
-    keeps its previous position instead of being resampled. So the same
-    input always trains the same centroids on any partitioning — the same
-    property the minhash permutation seeding guarantees (config.py:30-43).
+    accumulates in FIXED-POINT int64 (values scaled by 2^30, summed as
+    longs — integer addition is associative, so the partial-aggregate
+    merge order Spark picks per partitioning cannot change the result;
+    a float64 F.avg here would drift in final ULPs across shuffle
+    layouts), and an emptied centroid keeps its previous position instead
+    of being resampled. So the same input always trains BIT-IDENTICAL
+    centroids on any partitioning — the same property the minhash
+    permutation seeding guarantees (config.py:30-43). Fixed-point bounds:
+    |component| * 2^30 per row, summed per cluster — safe to |v|~100 at
+    ~8e7 vectors per cluster; ANSI mode makes an overflow loud, never a
+    silent wrap. Resolution 2^-30 ~ 1e-9 per component, far below any
+    assignment decision boundary of interest.
 
     Shuffle shape per round: the narrow (cid, pos, val) explode —
     n_vectors * dim rows of 3 scalar columns — aggregated by (cid, pos)
@@ -246,7 +254,14 @@ def ivf_lloyd_centroids(
             assign.join(v, "id")
             .select("cid", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("val") * F.lit(float(1 << 30))).cast("long"))
+                    .cast("double")
+                    / F.count("*")
+                    / F.lit(float(1 << 30))
+                ).alias("m")
+            )
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(

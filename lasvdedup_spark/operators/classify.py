@@ -133,25 +133,22 @@ def classify(
             )
         )
         comp_pairs = (
-            ecomp.groupBy("component")
-            .agg(F.min("jaccard").alias("min_jaccard"))
-            .join(
+            implied.join(
                 cross_cluster.groupBy("component").agg(
                     F.count("*").alias("_n_verified")
                 ),
                 "component",
-                "left",
+                "full",
             )
-            .join(implied, "component", "left")
             .withColumn(
                 "n_pairs",
                 F.coalesce("_n_verified", F.lit(0))
                 + F.coalesce("_implied", F.lit(0.0)),
             )
-            .select("component", "min_jaccard", "n_pairs")
+            .select("component", "n_pairs")
         )
     else:
-        comp_pairs = None  # default path: pair stats fold into the window pass
+        comp_pairs = None  # default path: pair count folds into the window pass
 
     # --- per-member mean distance to other members (outlier score)
     half = ecomp.select("component", F.col("id_a").alias("id"), "jaccard").unionAll(
@@ -159,65 +156,44 @@ def classify(
     )
     evolution_threshold = (1.0 - cfg.strong_threshold) / cfg.z_threshold
 
-    if comp_pairs is not None:
-        # transitive (exact-tier) path: comp_pairs came from the implied-
-        # pair accounting above; member/robust stats via the join ladder.
-        member_score = half.groupBy("component", "id").agg(
-            (1.0 - F.avg("jaccard")).alias("mean_dist")
-        )
-        med = member_score.groupBy("component").agg(
-            F.median("mean_dist").alias("med")
-        )
-        mad = (
-            member_score.join(med, "component")
-            .groupBy("component")
-            .agg(F.median(F.abs(F.col("mean_dist") - F.col("med"))).alias("mad"))
-        )
-        robust = med.join(mad, "component").withColumn(
-            "cutoff",
-            F.when(F.col("mad") == 0.0, F.col("med") + F.lit(evolution_threshold))
-            .otherwise(F.col("med") + F.lit(cfg.z_threshold) * F.col("mad")),
-        )
-        m = (
-            members.join(member_score.select("id", "mean_dist"), "id", "left")
-            .join(comp_pairs, "component", "left")
-            .join(robust.select("component", "cutoff"), "component", "left")
-        )
+    # ONE aggregation to per-(component, member) grain, then every
+    # component-level statistic — pair count, min jaccard, exact median,
+    # exact MAD — as window aggregates over the SAME component
+    # partitioning. The round-2 formulation computed each of these as its
+    # own groupBy + join back (med, mad, robust, comp_pairs = 5 extra
+    # exchanges / stage barriers per run); windows sharing one partitioning
+    # are a single exchange and two WindowExec passes (mad must see med).
+    # Identical values: median === percentile(0.5) (exact, numpy-matching,
+    # distance_matrix.py:53-54), and sum(per-member endpoint counts)/2 ===
+    # count of edges. The transitive (exact-tier) path reuses all of it —
+    # only n_pairs comes from the implied-pair accounting above instead of
+    # the windowed edge count.
+    wcs = Window.partitionBy("component")
+    scores = half.groupBy("component", "id").agg(
+        (1.0 - F.avg("jaccard")).alias("mean_dist"),
+        F.count("*").alias("_cnt"),
+        F.min("jaccard").alias("_mj"),
+    )
+    if comp_pairs is None:
+        scores = scores.withColumn("n_pairs", F.sum("_cnt").over(wcs) / 2)
     else:
-        # Default path: ONE aggregation to per-(component, member) grain,
-        # then every component-level statistic — pair count, min jaccard,
-        # exact median, exact MAD — as window aggregates over the SAME
-        # component partitioning. The round-2 formulation computed each of
-        # these as its own groupBy + join back (med, mad, robust, comp_pairs
-        # = 5 extra exchanges / stage barriers per run); windows sharing one
-        # partitioning are a single exchange and two WindowExec passes (mad
-        # must see med). Identical values: median === percentile(0.5)
-        # (exact, numpy-matching, distance_matrix.py:53-54), and
-        # sum(per-member endpoint counts)/2 === count of edges.
-        wcs = Window.partitionBy("component")
-        scores = half.groupBy("component", "id").agg(
-            (1.0 - F.avg("jaccard")).alias("mean_dist"),
-            F.count("*").alias("_cnt"),
-            F.min("jaccard").alias("_mj"),
-        )
-        scores = (
-            scores.withColumn("n_pairs", F.sum("_cnt").over(wcs) / 2)
-            .withColumn("min_jaccard", F.min("_mj").over(wcs))
-            .withColumn("med", F.median("mean_dist").over(wcs))
-        )
-        scores = scores.withColumn(
-            "mad", F.median(F.abs(F.col("mean_dist") - F.col("med"))).over(wcs)
-        )
-        scores = scores.withColumn(
-            "cutoff",
-            F.when(F.col("mad") == 0.0, F.col("med") + F.lit(evolution_threshold))
-            .otherwise(F.col("med") + F.lit(cfg.z_threshold) * F.col("mad")),
-        )
-        m = members.join(
-            scores.select("id", "mean_dist", "n_pairs", "min_jaccard", "cutoff"),
-            "id",
-            "left",
-        )
+        scores = scores.join(comp_pairs, "component")
+    scores = scores.withColumn("min_jaccard", F.min("_mj").over(wcs)).withColumn(
+        "med", F.median("mean_dist").over(wcs)
+    )
+    scores = scores.withColumn(
+        "mad", F.median(F.abs(F.col("mean_dist") - F.col("med"))).over(wcs)
+    )
+    scores = scores.withColumn(
+        "cutoff",
+        F.when(F.col("mad") == 0.0, F.col("med") + F.lit(evolution_threshold))
+        .otherwise(F.col("med") + F.lit(cfg.z_threshold) * F.col("mad")),
+    )
+    m = members.join(
+        scores.select("id", "mean_dist", "n_pairs", "min_jaccard", "cutoff"),
+        "id",
+        "left",
+    )
 
     wc = Window.partitionBy("component")
     m = m.withColumn("cluster_size", F.count("*").over(wc))

@@ -361,27 +361,19 @@ def dedup(
         )
         if cfg.max_bucket_size is not None and r.root is not None:
             # the cap's contract: dropped rows are COUNTED, never silent.
-            # band_buckets emits exactly lsh_bands rows per signature, so
-            # the raw (pre-cap) census is sigs_rows * lsh_bands — no extra
-            # Spark job. On a resumed run the signatures stage was skipped
-            # (rows=-1); fall back to an empty-projection count over the
-            # checkpointed sigs parquet (footer-only scan), still never
-            # re-executing the band explode.
+            # band_buckets emits exactly lsh_bands rows per NON-NULL
+            # signature (a NULL-text page has sig NULL and explodes to 0
+            # band rows — it must not be censused as "dropped by the
+            # cap"), so the raw (pre-cap) census is
+            # count(sig IS NOT NULL) * lsh_bands: one cheap single-column
+            # predicate count over the already-checkpointed sigs parquet,
+            # never a re-execution of the band explode.
             capped_rows = next(
                 (m["rows"] for m in reversed(r.metrics) if m["stage"] == "bands"),
                 -1,
             )
             if capped_rows >= 0:
-                sig_rows = next(
-                    (
-                        m["rows"]
-                        for m in reversed(r.metrics)
-                        if m["stage"] == "signatures" and m["rows"] >= 0
-                    ),
-                    None,
-                )
-                if sig_rows is None:
-                    sig_rows = sigs.count()
+                sig_rows = sigs.where(F.col("sig").isNotNull()).count()
                 r.metrics.append(
                     {
                         "stage": "bands_dropped_by_cap",

@@ -169,10 +169,20 @@ def incremental_dedup_query(
         )
         # index rows land under batch_id=N/part=P: the batch_id level keeps
         # epoch replays idempotent, the part level is what the next batch's
-        # pruned read needs
-        batch_bands.write.mode("overwrite").partitionBy("part").parquet(
-            os.path.join(index_dir, f"batch_id={batch_id}")
-        )
+        # pruned read needs. EXCEPT when resuming over a legacy
+        # (un-partitioned) index: parquet partition discovery rejects a
+        # tree whose leaves sit at two different depths, so a partitioned
+        # epoch written next to legacy epochs would crash every LATER
+        # batch's read. Stay un-partitioned (full-scan reads, correct)
+        # until compact_index() migrates the whole tree. Detection is
+        # Spark-side (the columns of the index we just read), never a
+        # driver-local listdir.
+        legacy = old_idx is not None and "part" not in old_idx.columns
+        w = batch_bands.drop("part") if legacy else batch_bands
+        w = w.write.mode("overwrite")
+        if not legacy:
+            w = w.partitionBy("part")
+        w.parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
 
     writer = (
         batch_bands_stream.writeStream.foreachBatch(process_batch)
@@ -187,19 +197,26 @@ def incremental_dedup_query(
 def compact_index(spark: SparkSession, work_dir: str) -> dict:
     """Rewrite the accumulated band index from its per-epoch layout
     (``batch_id=N/part=P`` — one directory tree per micro-batch) into a
-    single ``batch_id=-1/part=P`` tree.
+    single ``batch_id=-K/part=P`` tree (negative = compaction epoch; a
+    fresh K each run so the swap is an atomic rename, never an in-place
+    overwrite).
 
     The per-epoch layout is what makes epoch replays idempotent, but its
     file-listing cost grows linearly with batch count; after compaction the
     next batch's pruned read lists one tree plus whatever epochs arrived
-    since. Idempotent and crash-safe in the maintenance-job sense: the
-    compacted tree is fully written (to a sibling temp dir) before any old
-    epoch directory is removed; a crash in between leaves duplicate index
-    rows, which the pair verify de-duplicates (``_verify`` ends in
-    distinct()), and a re-run converges. Run it between stream runs, not
-    concurrently with one. On Iceberg this whole function is
-    ``rewrite_data_files`` (compaction) — the driver-side fs calls below
-    are the sandbox's parquet-directory stand-in for that table service.
+    since. Crash-safe by ordering: (1) write the compacted tree to a temp
+    dir, (2) atomically rename it INTO the index as the new compaction
+    epoch, (3) only then delete the source epoch dirs. At every crash
+    point the union of live directories still covers every index row — a
+    crash between (2) and (3) leaves duplicates, which the pair verify
+    de-duplicates (``_verify`` ends in distinct()) and the next
+    compaction folds away; a crash before (2) leaves only a stale temp
+    dir that the next run overwrites. (The earlier order — delete sources,
+    then rename — lost the whole index if the driver died in between.)
+    Run it between stream runs, not concurrently with one. On Iceberg this
+    whole function is ``rewrite_data_files`` (compaction) — the
+    driver-side fs calls below are the sandbox's parquet-directory
+    stand-in for that table service.
 
     Returns {"batches_compacted": int, "rows": int}.
     """
@@ -209,28 +226,29 @@ def compact_index(spark: SparkSession, work_dir: str) -> dict:
     idx = read_index_pruned(spark, index_dir, None)
     if idx is None:
         return {"batches_compacted": 0, "rows": 0}
-    epoch_dirs = [
-        d
-        for d in os.listdir(index_dir)
-        if d.startswith("batch_id=") and d != "batch_id=-1"
-    ]
-    if not epoch_dirs:
+    all_dirs = [d for d in os.listdir(index_dir) if d.startswith("batch_id=")]
+    ids = [int(d.split("=", 1)[1]) for d in all_dirs]
+    # nothing to fold: no positive epochs and at most one compaction tree
+    if not any(i >= 0 for i in ids) and sum(1 for i in ids if i < 0) <= 1:
         return {"batches_compacted": 0, "rows": 0}
+    new_id = min([0, *ids]) - 1
 
     tmp = os.path.join(work_dir, "_index_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)  # stale tmp from a prior crash
     cols = [c for c in idx.columns if c != "batch_id"]
-    out = idx.select(*cols)
+    # (id, bucket) identifies a band row (same id+bucket => same sig);
+    # the dedup folds away crash-remnant duplicates instead of carrying
+    # them forward forever
+    out = idx.select(*cols).dropDuplicates(["id", "bucket"])
     if "part" not in out.columns:  # legacy un-partitioned layout: add it
         out = _with_part(out)
     out.write.mode("overwrite").partitionBy("part").parquet(tmp)
     rows = spark.read.parquet(tmp).count()
 
-    for d in [*epoch_dirs, "batch_id=-1"]:
-        p = os.path.join(index_dir, d)
-        if os.path.exists(p):
-            shutil.rmtree(p)
-    os.rename(tmp, os.path.join(index_dir, "batch_id=-1"))
-    return {"batches_compacted": len(epoch_dirs), "rows": rows}
+    os.rename(tmp, os.path.join(index_dir, f"batch_id={new_id}"))
+    for d in all_dirs:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    return {"batches_compacted": len(all_dirs), "rows": rows}
 
 
 def read_pairs(spark: SparkSession, work_dir: str) -> DataFrame:

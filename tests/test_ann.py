@@ -185,7 +185,9 @@ def test_ivf_lloyd_recall_ge_seeded(spark):
     c2 = sorted(ivf_lloyd_centroids(vecs.repartition(5), 8, 2).collect())
     assert [r["cid"] for r in c1] == [r["cid"] for r in c2]
     for a, b in zip(c1, c2):
-        assert a["cvec"] == pytest.approx(b["cvec"], abs=1e-12)
+        # fixed-point accumulation: BIT-identical across partitionings,
+        # not merely approx (float avg would drift in final ULPs)
+        assert list(a["cvec"]) == list(b["cvec"])
     # and the centroids actually moved off the seeds
     seeds = {r["cid"]: r["cvec"] for r in spark.createDataFrame(
         rows[:8], "vec_id long, embedding array<double>"

@@ -179,3 +179,101 @@ def test_read_index_pruned_legacy_layout_no_crash(spark, tmp_path):
     idx = read_index_pruned(spark, legacy, [7 % N_INDEX_PARTS])
     assert idx is not None
     assert idx.count() == 2  # unpruned full scan, not a crash
+
+
+def test_stream_resume_over_legacy_index_stays_consistent(spark, tmp_path):
+    """Resuming a stream over a legacy (un-partitioned) index must not
+    crash on the SECOND batch: a partitioned epoch written next to legacy
+    epochs gives parquet two leaf depths and partition discovery rejects
+    the tree. New epochs therefore stay un-partitioned until
+    compact_index migrates the whole index; after compaction new epochs
+    are partitioned again."""
+    from lasvdedup_spark.streaming.incremental import compact_index
+
+    input_dir = str(tmp_path / "in")
+    work_dir = str(tmp_path / "work")
+    index_dir = os.path.join(work_dir, "index")
+    cfg = DedupConfig()
+
+    # 1) build a real index, then strip it to the legacy layout:
+    # un-partitioned batch dirs, no part column
+    _write_batch(spark, input_dir, "b1", [_page("u/a1", TEXT_A), _page("u/b1", TEXT_B)])
+    q = incremental_dedup_query(spark, input_dir, work_dir, cfg)
+    q.awaitTermination(120)
+    import shutil
+
+    legacy_rows = read_index_pruned(spark, index_dir, None).select(
+        "id", "sig", "bucket"
+    )
+    stage = str(tmp_path / "legacy_stage")
+    legacy_rows.write.mode("overwrite").parquet(stage)
+    shutil.rmtree(index_dir)
+    os.makedirs(index_dir)
+    shutil.move(stage, os.path.join(index_dir, "batch_id=0"))
+
+    # 2) resume: TWO more batches over the legacy index — batch 3 reads an
+    # index containing batch 2's epoch, the mixed-depth crash case
+    _write_batch(spark, input_dir, "b2", [_page("u/a2", TEXT_A)])
+    _write_batch(spark, input_dir, "b3", [_page("u/a3", TEXT_A)])
+    q2 = incremental_dedup_query(spark, input_dir, work_dir, cfg)
+    q2.awaitTermination(120)
+
+    pairs = {(r["id_a"], r["id_b"]) for r in read_pairs(spark, work_dir).collect()}
+    assert ("u/a1", "u/a2") in pairs      # vs legacy index content
+    assert ("u/a1", "u/a3") in pairs and ("u/a2", "u/a3") in pairs
+    # the new epochs joined the legacy layout (no part dirs anywhere)
+    idx = read_index_pruned(spark, index_dir, None)
+    assert "part" not in idx.columns
+
+    # 3) compaction migrates to the partitioned layout; the next epoch is
+    # partitioned and cross-batch pairs still arrive
+    assert compact_index(spark, work_dir)["batches_compacted"] == 3
+    _write_batch(spark, input_dir, "b4", [_page("u/a4", TEXT_A)])
+    q3 = incremental_dedup_query(spark, input_dir, work_dir, cfg)
+    q3.awaitTermination(120)
+    idx2 = read_index_pruned(spark, index_dir, None)
+    assert "part" in idx2.columns
+    pairs2 = {(r["id_a"], r["id_b"]) for r in read_pairs(spark, work_dir).collect()}
+    assert ("u/a1", "u/a4") in pairs2 and ("u/a3", "u/a4") in pairs2
+
+
+def test_compact_index_crash_remnant_converges(spark, tmp_path):
+    """compact_index's crash contract: the compacted tree is renamed INTO
+    the index BEFORE the source epochs are deleted, so a crash in between
+    leaves duplicates (never a loss). A re-run over that remnant state
+    folds everything into one tree with the original row set."""
+    from lasvdedup_spark.streaming.incremental import compact_index
+
+    input_dir = str(tmp_path / "in")
+    work_dir = str(tmp_path / "work")
+    index_dir = os.path.join(work_dir, "index")
+    cfg = DedupConfig()
+    _write_batch(spark, input_dir, "b1", [_page("u/a1", TEXT_A), _page("u/b1", TEXT_B)])
+    _write_batch(spark, input_dir, "b2", [_page("u/a2", TEXT_A)])
+    q = incremental_dedup_query(spark, input_dir, work_dir, cfg)
+    q.awaitTermination(120)
+    rows = {
+        (r["id"], r["bucket"])
+        for r in read_index_pruned(spark, index_dir, None).select("id", "bucket").collect()
+    }
+
+    # simulate the crash window: compacted tree landed (batch_id=-1), but
+    # the source epoch dirs were NOT yet deleted
+    import shutil
+
+    full = read_index_pruned(spark, index_dir, None).select("id", "sig", "bucket", "part")
+    tmp = str(tmp_path / "t")
+    full.write.mode("overwrite").partitionBy("part").parquet(tmp)
+    shutil.move(tmp, os.path.join(index_dir, "batch_id=-1"))
+
+    # duplicated state reads fine and the re-run folds it
+    dup = read_index_pruned(spark, index_dir, None)
+    assert dup.count() == 2 * len(rows)
+    res = compact_index(spark, work_dir)
+    assert res["batches_compacted"] == 3  # 2 epochs + 1 crash remnant
+    assert res["rows"] == len(rows)  # duplicates folded, not carried
+    after = read_index_pruned(spark, index_dir, None)
+    got = {(r["id"], r["bucket"]) for r in after.select("id", "bucket").collect()}
+    assert got == rows
+    dirs = [d for d in os.listdir(index_dir) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=-2"]  # fresh compaction id, atomic rename target
