@@ -82,9 +82,12 @@ def main() -> None:
     timed("minhash_signatures", lambda: run_full(minhash.signatures(narrow, cfg)))
     timed(
         "lsh_verified_pairs",
-        lambda: run_full(minhash.minhash_dup_pairs(narrow, cfg)),
+        lambda: run_full(minhash.minhash_dup_pairs(narrow, cfg, eager=True)),
     )
-    timed("simhash_pairs", lambda: run_full(simhash.simhash_dup_pairs(narrow, cfg)))
+    timed(
+        "simhash_pairs",
+        lambda: run_full(simhash.simhash_dup_pairs(narrow, cfg, eager=True)),
+    )
 
     from lasvdedup_spark.operators import substring
 

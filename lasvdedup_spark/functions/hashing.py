@@ -148,6 +148,49 @@ def fast_shingle_hashes_expr(cfg: DedupConfig, tokens_col: str = "tokens") -> Co
     )
 
 
+def fast_lgram_hashes_expr(length: int, tokens_col: str = "tokens") -> Column:
+    """Distinct 62-bit L-gram hashes WITHOUT building gram strings —
+    production xxhash64 family for the substring tier (the md5 path hashes
+    ``concat_ws`` gram strings, which is both ~L× token volume of transient
+    string garbage and the JCA provider lock, see BENCH.md).
+
+    Construction: each token is hashed TWICE (xxhash64 with two different
+    salts, folded to 31 bits); a window's hash is, per family, the
+    position-weighted multiply-add of its L token hashes mod 2^31, and the
+    final key concatenates the two independent 31-bit combines into one
+    62-bit value (h1 * 2^31 + h2). A collision therefore requires BOTH
+    families to collide simultaneously — 62-bit effective space, matching
+    the md5 path's 60-bit keys, while every intermediate stays inside
+    int64: term = th(<2^31) * mult(<2^31) < 2^62, pmod'd per term before
+    the <= 16-term sum (< 2^36).
+
+    Same structural tricks as fast_shingle_hashes_expr: single-element
+    array let-binding (CollapseProject-proof) and try_element_at+coalesce
+    so docs shorter than L still produce one well-defined gram hash.
+    Output is array_distinct'ed (one row per distinct gram per doc, like
+    the md5 path's distinct gram strings).
+    """
+    M = 1 << 31
+    m1 = [pow(31, length - 1 - j, M) for j in range(length)]
+    m2 = [pow(1_000_003, length - 1 - j, M) for j in range(length)]
+    th1 = f"transform({tokens_col}, t -> pmod(xxhash64(t), {M}L))"
+    th2 = f"transform({tokens_col}, t -> pmod(xxhash64(t, 7), {M}L))"
+    c1 = " + ".join(
+        f"pmod(coalesce(try_element_at(th.h1, i + {j + 1}), 0L) * {m1[j]}L, {M}L)"
+        for j in range(length)
+    )
+    c2 = " + ".join(
+        f"pmod(coalesce(try_element_at(th.h2, i + {j + 1}), 0L) * {m2[j]}L, {M}L)"
+        for j in range(length)
+    )
+    return F.expr(
+        f"element_at(transform(array(struct({th1} as h1, {th2} as h2)), th -> "
+        f"  array_distinct(transform("
+        f"    sequence(0, greatest(size({tokens_col}) - {length}, 0)), "
+        f"    i -> pmod({c1}, {M}L) * {M}L + pmod({c2}, {M}L)))), 1)"
+    )
+
+
 def minhash_sig_from_hashes_expr(
     cfg: DedupConfig, hashes_col: str = "sh_hashes"
 ) -> Column:

@@ -130,20 +130,27 @@ def minhash_dup_pairs(
     cfg: DedupConfig,
     id_col: str = "url",
     sigs: DataFrame | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """End-to-end: pages -> verified duplicate edges (id_a, id_b, jaccard).
 
     Pass precomputed ``sigs`` when they are materialized elsewhere (the
     staged pipeline checkpoints them): signatures feed BOTH the band side
     and the verify side, and Spark has no cross-subtree common-subexpression
-    reuse — an un-materialized sigs subtree executes twice per action."""
+    reuse — an un-materialized sigs subtree executes twice per action.
+
+    eager=True materializes the signatures NOW (localCheckpoint): the band
+    side and both verify joins are SIBLING stages of the same downstream
+    job, so without materialization each computes the full signature
+    subtree (a lazy cache races — measured as 2x the signature map work in
+    the scaling profile, BENCH.md round 3). Default False keeps the
+    operator lazy — no Spark job at plan-composition time, so it composes
+    onto streaming DataFrames and pure-plan callers; batch callers on hot
+    paths (bench) opt in."""
     if sigs is None:
-        # sigs feed the band side AND both verify joins — and those are
-        # SIBLING stages of the same downstream job, so a lazy cache races
-        # (each concurrent stage computes the uncached subtree; measured as
-        # 2x the signature map work in the scaling profile). Eager: compute
-        # once now, siblings read the cache.
-        sigs = signatures(pages, cfg, id_col).localCheckpoint(eager=True)
+        sigs = signatures(pages, cfg, id_col)
+        if eager:
+            sigs = sigs.localCheckpoint(eager=True)
     bkts = capped_buckets(band_buckets(sigs, cfg), cfg)
     cand = candidate_pairs(bkts, cfg)
     return verified_pairs(cand, sigs, cfg)

@@ -36,9 +36,25 @@ N_BANDS = 4          # guarantees recall for hamming <= 3
 BAND_BITS = 15
 
 
-def simhash(pages: DataFrame, id_col: str = "url") -> DataFrame:
-    """(id, simhash: bigint) — one fold expression, no shuffle."""
-    h = "cast(conv(substr(md5(t),1,15),16,10) as bigint)"
+def simhash(
+    pages: DataFrame, id_col: str = "url", hash_family: str = "md5"
+) -> DataFrame:
+    """(id, simhash: bigint) — one fold expression, no shuffle.
+
+    hash_family picks the per-token 60-bit hash:
+      * "md5" (default) — portable to the DuckDB oracle byte-for-byte; the
+        oracle-parity queries pin it (entry_queries.CFG). Does NOT scale
+        across executor threads in one JVM (JDK MessageDigest serializes
+        on the JCA provider lock — measured flat ~20 s at 8 AND 32 cores,
+        BENCH.md), so it is for correctness checking only.
+      * "xxhash64" — production: native Spark expression, no lock, folded
+        to the same non-negative 60-bit range so banding/Hamming code is
+        family-agnostic. Different bits than md5, same near-dup semantics.
+    """
+    if hash_family == "xxhash64":
+        h = f"pmod(xxhash64(t), {1 << SIMHASH_BITS}L)"
+    else:
+        h = "cast(conv(substr(md5(t),1,15),16,10) as bigint)"
     b = SIMHASH_BITS
     fold = (
         f"aggregate("
@@ -68,10 +84,17 @@ def simhash_bands(sh: DataFrame) -> DataFrame:
     )
 
 
-def simhash_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
+def simhash_dup_pairs(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    eager: bool = False,
+) -> DataFrame:
     """(id_a, id_b, hamming) for all pairs with hamming <= cfg.simhash_hamming.
 
     Exact (not approximate) for hamming <= 3 by the banding guarantee.
+    Token hashing follows cfg.hash_family (md5 = oracle-portable,
+    xxhash64 = production; see simhash()).
 
     Pair generation routes through the shared salted_pair_join on the
     combined (band_id << BAND_BITS) | band_val key — SimHash's skew hazard
@@ -81,6 +104,15 @@ def simhash_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -
     band key over cfg.salt_buckets tasks; the (narrow, 2-column) simhash
     values are joined back only for the bit_count verify, the same
     candidates->verify shape minhash uses (operators/minhash.py:107-125).
+
+    eager=True materializes the simhash fold NOW (localCheckpoint): it
+    feeds the band side AND both verify joins, which are SIBLING stages of
+    one downstream job — without materialization each sibling computes the
+    full fold (Spark has no cross-subtree CSE, and a lazy cache races; see
+    pipeline.StageRunner.stage). Default False keeps the operator lazy —
+    no Spark job at plan-composition time, legal to compose onto streaming
+    DataFrames — at the cost of the fold re-executing per sibling; batch
+    callers on hot paths (bench, dedup()) opt in.
     """
     if cfg.simhash_hamming > N_BANDS - 1:
         raise ValueError(
@@ -89,10 +121,9 @@ def simhash_dup_pairs(pages: DataFrame, cfg: DedupConfig, id_col: str = "url") -
         )
     from lasvdedup_spark.operators.pairs import salted_pair_join
 
-    # sh feeds the band side AND both verify joins — sibling stages of one
-    # job race on a lazy cache and compute the fold twice; eager runs it
-    # once (see minhash_dup_pairs)
-    sh = simhash(pages, id_col).localCheckpoint(eager=True)
+    sh = simhash(pages, id_col, hash_family=cfg.hash_family)
+    if eager:
+        sh = sh.localCheckpoint(eager=True)
     keyed = simhash_bands(sh).select(
         "id",
         (

@@ -25,19 +25,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lasvdedup_spark.config import DedupConfig
-from lasvdedup_spark.functions.hashing import portable_hash60
+from lasvdedup_spark.functions.hashing import fast_lgram_hashes_expr, portable_hash60
 from lasvdedup_spark.functions.text import lgrams_expr, tokens_expr
 
 
 def lgram_hashes(pages: DataFrame, cfg: DedupConfig, id_col: str = "url",
                  sample_mod: int = 1) -> DataFrame:
-    """(id, gh) — one row per distinct L-gram hash per doc."""
-    g = (
-        pages.select(F.col(id_col).alias("id"), tokens_expr("text").alias("tokens"))
-        .withColumn("lgrams", lgrams_expr(cfg.substring_min_tokens))
-        .select("id", F.explode("lgrams").alias("lgram"))
-        .select("id", portable_hash60("lgram").alias("gh"))
+    """(id, gh) — one row per distinct L-gram hash per doc.
+
+    Hash family follows cfg.hash_family:
+      * "md5" — gram STRINGS (concat_ws over L-token slices) through the
+        60-bit md5-prefix hash: the form the DuckDB oracle replicates
+        byte-for-byte. Scale-hostile twice over (L× token volume of
+        transient string garbage + the JCA provider lock, BENCH.md) —
+        correctness checking only.
+      * "xxhash64" (production) — string-free arithmetic window combine
+        over per-token xxhash64 values, 62-bit keys
+        (functions/hashing.py::fast_lgram_hashes_expr). Same candidate
+        semantics: two docs collide iff they share an L-token window
+        (modulo 62-bit hash collisions, the same exactness class as the
+        md5 path's 60-bit keys).
+    """
+    base = pages.select(
+        F.col(id_col).alias("id"), tokens_expr("text").alias("tokens")
     )
+    if cfg.hash_family == "xxhash64":
+        g = base.select(
+            "id",
+            F.explode(
+                fast_lgram_hashes_expr(cfg.substring_min_tokens)
+            ).alias("gh"),
+        )
+    else:
+        g = (
+            base.withColumn("lgrams", lgrams_expr(cfg.substring_min_tokens))
+            .select("id", F.explode("lgrams").alias("lgram"))
+            .select("id", portable_hash60("lgram").alias("gh"))
+        )
     if sample_mod > 1:
         g = g.where(F.pmod(F.col("gh"), F.lit(sample_mod)) == 0)
     return g

@@ -392,7 +392,9 @@ def dedup(
     if "simhash" in tiers:
         e = r.stage(
             "edges_simhash",
-            lambda: simhash.simhash_dup_pairs(narrow, cfg).withColumn(
+            # eager: the simhash fold feeds sibling stages (band + 2 verify
+            # joins) of this stage's materializing job; see the operator
+            lambda: simhash.simhash_dup_pairs(narrow, cfg, eager=True).withColumn(
                 "jaccard", 1.0 - F.col("hamming") / F.lit(60.0)
             ),
         )

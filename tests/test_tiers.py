@@ -36,7 +36,7 @@ def test_simhash_banding_equals_bruteforce(spark):
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in simhash_dup_pairs(df, cfg).collect()
     }
-    sh = simhash(df)
+    sh = simhash(df, hash_family=cfg.hash_family)
     a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     brute = {
@@ -111,6 +111,72 @@ def test_span_lengths_long_docs_bounded(spark):
     assert time.time() - t0 < 60
     assert len(got) == 1
     assert got[0]["span_len"] == 512
+
+
+def test_simhash_xxhash64_family(spark):
+    """Production family: banding == brute force under xxhash64 token
+    hashes too (the banding/Hamming machinery is family-agnostic), exact
+    copies land at hamming 0, and the families genuinely differ (the
+    xxhash64 path must not silently fall back to md5)."""
+    cfg = DedupConfig(simhash_hamming=3, hash_family="xxhash64")
+    texts = [
+        ("a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("b", "the quick brown fox jumps over the lazy dog again and again"),
+        ("c", "the quick brown fox leaps over the lazy dog again and again"),
+        ("d", "completely different content about spark dataframes and shuffles"),
+    ]
+    df = spark.createDataFrame(texts, ["url", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(df, cfg).collect()
+    }
+    sh = simhash(df, hash_family="xxhash64")
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.expr("bit_count(sh_a ^ sh_b)"))
+        .where(F.col("h") <= cfg.simhash_hamming)
+        .collect()
+    }
+    assert got == brute
+    assert got[("a", "b")] == 0
+    md5_vals = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    xx_vals = {r["id"]: r["simhash"] for r in sh.collect()}
+    assert md5_vals != xx_vals
+
+
+def test_lgram_families_same_pairs(spark, docs):
+    """The string-free xxhash64 L-gram path must produce the SAME candidate
+    pair set as the md5 gram-string path (collisions are negligible at this
+    scale, so both are exactly 'share an L-token window')."""
+    cfg_md5 = DedupConfig(hash_family="md5")
+    cfg_xx = DedupConfig(hash_family="xxhash64")
+    d = docs.limit(300)
+    p_md5 = {
+        (r["id_a"], r["id_b"])
+        for r in substring_dup_pairs(d, cfg_md5, id_col="doc_id").collect()
+    }
+    p_xx = {
+        (r["id_a"], r["id_b"])
+        for r in substring_dup_pairs(d, cfg_xx, id_col="doc_id").collect()
+    }
+    assert p_md5 == p_xx
+
+
+def test_lgram_xxhash64_short_docs(spark):
+    """Docs shorter than L still hash to one well-defined gram under the
+    arithmetic path (try_element_at+coalesce guard): exact short copies
+    pair up, different short docs do not."""
+    cfg = DedupConfig(substring_min_tokens=16, hash_family="xxhash64")
+    df = spark.createDataFrame(
+        [("a", "tiny shared doc"), ("b", "tiny shared doc"), ("c", "other text")],
+        ["url", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in substring_dup_pairs(df, cfg).collect()}
+    assert pairs == {("a", "b")}
 
 
 def test_extract_text_byte_identical(spark, docs):
