@@ -64,27 +64,35 @@ def extract_text_udf():
     The fallback is pandas .str regex ops except entity decoding
     (html.unescape has no vectorized form; it runs only on the
     fallback-and-contains-'&' subset, still inside the Arrow batch).
+    Entity decoding can RESURFACE markup ('&lt;script&gt;...' becomes
+    literal '<script>...'), so the tag-strip passes re-run on the decoded
+    subset — escaped markup in the source must strip like real markup.
 
     Factory (not module-level decoration): pandas_udf resolves its return
     type against the active SparkSession, which need not exist at import.
     """
     import html as _htmllib
 
+    def _strip_markup(s: pd.Series) -> pd.Series:
+        s = s.str.replace(
+            r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ", regex=True
+        )
+        s = s.str.replace(r"(?s)<!--.*?-->", " ", regex=True)
+        return s.str.replace(r"(?s)<[^>]*>", " ", regex=True)
+
     @pandas_udf("string")
     def _extract(html: pd.Series) -> pd.Series:
-        s = html.apply(lambda b: b.decode("utf-8", errors="replace"))
+        # vectorized decode (C loop in pandas), not a per-row Python lambda
+        s = html.str.decode("utf-8", errors="replace")
         out = s.str.extract(_EXTRACT_RE, expand=False)
         miss = out.isna()
         if miss.any():
-            fb = s[miss]
-            fb = fb.str.replace(
-                r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ", regex=True
-            )
-            fb = fb.str.replace(r"(?s)<!--.*?-->", " ", regex=True)
-            fb = fb.str.replace(r"(?s)<[^>]*>", " ", regex=True)
+            fb = _strip_markup(s[miss])
             has_ent = fb.str.contains("&", regex=False)
             if has_ent.any():
-                fb.loc[has_ent] = fb[has_ent].map(_htmllib.unescape)
+                fb.loc[has_ent] = _strip_markup(
+                    fb[has_ent].map(_htmllib.unescape)
+                )
             fb = fb.str.replace(r"\s+", " ", regex=True).str.strip()
             out = out.where(~miss, fb)
         return out.fillna("")

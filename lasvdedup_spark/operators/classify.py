@@ -105,8 +105,20 @@ def classify(
         #             a component with genuinely unverified pairs.
         # min_jaccard is unaffected: every implied pair is 1.0.
         trans = ecomp.where(F.col("transitive"))
-        rep_map = trans.select(
-            F.col("id_b").alias("_member"), F.col("id_a").alias("_rep")
+        # STAR-SHAPE GUARD: the accounting below assumes each member has at
+        # most ONE rep (exact.py emits star edges rep->member). classify()
+        # is public — a caller passing non-star transitive edges (a member
+        # under two reps, or all-pairs edges) would multiply rows through
+        # the ra/rb left joins and silently inflate n_pairs. Deduping to
+        # min(_rep) per member makes malformed input degrade predictably
+        # (cross-cluster counting still sound, implied count conservative)
+        # instead of corrupting the completeness gate.
+        rep_map = (
+            trans.select(
+                F.col("id_b").alias("_member"), F.col("id_a").alias("_rep")
+            )
+            .groupBy("_member")
+            .agg(F.min("_rep").alias("_rep"))
         )
         # per-rep star degree -> cluster size m = degree + 1 -> C(m,2)
         implied = (

@@ -35,6 +35,15 @@ from pyspark.sql import functions as F
 
 from lasvdedup_spark.config import DedupConfig
 
+# Persisted-stage FORMAT version, folded into every checkpoint address.
+# Bump whenever any stage's persisted schema or meaning changes (e.g. round
+# 3 added the 'transitive' column to the edges stage): a resume over
+# checkpoints written by older code must MISS — with an unversioned address
+# the old parquet would load cleanly and downstream logic would silently
+# degrade (classify's `"transitive" in edges.columns` fallback re-introduces
+# the exact under-counted pair accounting the column was added to fix).
+CHECKPOINT_FORMAT_VERSION = 2
+
 
 class StageRunner:
     def __init__(
@@ -56,7 +65,12 @@ class StageRunner:
         self.cfg = cfg
         self.force = force
         self.root = (
-            os.path.join(cfg.checkpoint_dir, cfg.fingerprint() + extra_key)
+            os.path.join(
+                cfg.checkpoint_dir,
+                cfg.fingerprint()
+                + extra_key
+                + f"-f{CHECKPOINT_FORMAT_VERSION}",
+            )
             if cfg.checkpoint_dir
             else None
         )
@@ -188,7 +202,10 @@ def checkpoint_root(
     if not cfg.checkpoint_dir:
         return None
     return os.path.join(
-        cfg.checkpoint_dir, cfg.fingerprint() + _call_key(tiers, quality_cols)
+        cfg.checkpoint_dir,
+        cfg.fingerprint()
+        + _call_key(tiers, quality_cols)
+        + f"-f{CHECKPOINT_FORMAT_VERSION}",
     )
 
 
@@ -435,6 +452,18 @@ def dedup(
         refined = merged
 
     edges = r.stage("edges", lambda: refined, heavy=True)
+    if tag_transitive and "transitive" not in edges.columns:
+        # A resumed edges checkpoint missing the 'transitive' column would
+        # silently degrade classify's pair accounting (every >clade_size
+        # all-identical cluster kept as TrueCoinfection). The format-version
+        # suffix in the address should make this unreachable; fail loudly if
+        # anything (manual checkpoint surgery, future bug) gets us here.
+        raise RuntimeError(
+            "resumed 'edges' checkpoint lacks the 'transitive' column "
+            "required when the exact tier is enabled; recompute with "
+            "force=True (stale/incompatible checkpoint at "
+            f"{r.root})"
+        )
 
     assignments = r.stage(
         "components",

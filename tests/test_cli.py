@@ -125,7 +125,9 @@ def test_per_partition_lineage_written(spark, sf_dir, tmp_path):
     dedup(spark, pages, cfg).count()
 
     import os
-    root = os.path.join(str(tmp_path), cfg.fingerprint())
+
+    from lasvdedup_spark.pipeline import checkpoint_root
+    root = checkpoint_root(cfg)
     lineage = spark.read.parquet(os.path.join(root, "_lineage"))
     stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
     assert {"signatures", "pairs", "components", "classifications"} <= stages

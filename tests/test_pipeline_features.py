@@ -150,6 +150,37 @@ def test_tiers_and_quality_cols_do_not_share_checkpoints(spark, tmp_path):
     assert by["u/b"]["classification"] == "good"
 
 
+def test_checkpoint_address_carries_format_version(spark, tmp_path):
+    """A checkpoint tree written by an older code version (different
+    persisted-stage format) must MISS on resume: the format version is part
+    of the address, so pre-version trees are simply never looked at — a
+    stale 'edges' checkpoint without the 'transitive' column can no longer
+    silently degrade classify's pair accounting (round-3 advice)."""
+    import os as _os
+
+    from lasvdedup_spark.pipeline import (
+        CHECKPOINT_FORMAT_VERSION,
+        checkpoint_root,
+    )
+
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path))
+    root = checkpoint_root(cfg)
+    assert root.endswith(f"-f{CHECKPOINT_FORMAT_VERSION}")
+    # simulate an old-layout tree (address without the -fN suffix) whose
+    # edges stage would poison a resume; the run must ignore it entirely
+    legacy = root[: -len(f"-f{CHECKPOINT_FORMAT_VERSION}")]
+    _os.makedirs(os.path.join(legacy, "edges"))
+    open(os.path.join(legacy, "edges", "_SUCCESS"), "w").close()
+    rows = [
+        ("u/a", None, None, TEXT, "en", 1.0),
+        ("u/b", None, None, TEXT, "en", 9.0),
+    ]
+    out = dedup(spark, _pages(spark, rows), cfg).collect()
+    assert len(out) == 2  # computed fresh, legacy dir untouched
+    assert os.path.exists(os.path.join(root, "edges", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(legacy, "edges", "part-00000"))
+
+
 def test_bucket_cap_drop_count_logged(spark, tmp_path):
     """max_bucket_size's contract: dropped band rows are counted into the
     metrics table, never silently truncated."""

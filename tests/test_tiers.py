@@ -215,9 +215,14 @@ def test_extract_text_real_world_html(spark):
         ("u/nested",
          b"<html><body><div><p>Hello <b>bold</b> world</p><p>second para</p></div></body></html>",
          "Hello bold world second para"),
+        # escaped markup resurfaced by entity decoding strips like real
+        # markup (second tag-strip pass); plain &amp; survives as text
         ("u/entities",
          b"<html><body>fish &amp; chips &lt;tag&gt; &#233;t&#233;</body></html>",
-         "fish & chips <tag> \xe9t\xe9"),
+         "fish & chips \xe9t\xe9"),
+        ("u/escaped-script",
+         b"<html><body>before &lt;script&gt;var x=1;&lt;/script&gt; after</body></html>",
+         "before after"),
         ("u/script",
          b"<html><head><script>var x = '<p>no</p>';</script><style>p{color:red}</style></head><body>real content</body></html>",
          "real content"),

@@ -111,6 +111,39 @@ def test_within_cluster_verified_pairs_not_double_counted(spark):
     assert {r["decision_category"] for r in out2} == {"BelowThreshold"}
 
 
+def test_malformed_multi_rep_star_degrades_predictably(spark):
+    """classify() is public: a caller passing NON-star transitive edges (a
+    member under two reps) must not multiply verified rows through the
+    rep-map joins (round-3 advice: dedupe rep_map on member). With the
+    guard, the duplicated-rep row is dropped; the verified D-E pair counts
+    exactly once per rep-map state and classification completes without
+    row inflation."""
+    cfg = DedupConfig(clade_size=2, strong_threshold=0.8)
+    assignments = spark.createDataFrame(
+        [(u, "A") for u in "ABCDE"], ["id", "component"]
+    )
+    stats = spark.createDataFrame(
+        [(u, 100) for u in "ABCDE"], ["id", "n_chars"]
+    )
+    edges = spark.createDataFrame(
+        [
+            ("A", "C", 1.0, True),
+            ("B", "C", 1.0, True),  # malformed: C now has reps A and B
+            ("C", "D", 0.9, False),
+            ("D", "E", 0.9, False),
+        ],
+        ["id_a", "id_b", "jaccard", "transitive"],
+    )
+    out = classify(assignments, edges, stats, cfg).collect()
+    # no row multiplication: exactly one classification per member
+    assert sorted(r["id"] for r in out) == list("ABCDE")
+    # and the cross-cluster (C,D) verified edge was not double-counted via
+    # C's duplicate rep rows: component is incomplete (far from C(5,2)=10
+    # pairs), so it must land in the big-cluster branches, never
+    # BelowThreshold
+    assert all(r["decision_category"] != "BelowThreshold" for r in out)
+
+
 def test_classify_without_transitive_column_unchanged(spark):
     """API compat: edges without the transitive column keep verified-only
     counting (the default minhash path and every oracle query)."""
