@@ -83,8 +83,16 @@ class StageRunner:
     def _done(self, stage: str) -> bool:
         if self.force:
             return False
-        return self.root is not None and os.path.exists(
-            os.path.join(self._path(stage), "_SUCCESS")
+        if self.root is None:
+            return False
+        # Hadoop-FS probe, not os.path: the checkpoint root lives on
+        # whatever filesystem Spark writes to (HDFS/S3 at scale); a local
+        # probe there reports "absent" and resume silently recomputes
+        # every stage (round-3 'What's missing' #1).
+        from lasvdedup_spark import fsio
+
+        return fsio.exists(
+            self.spark, os.path.join(self._path(stage), "_SUCCESS")
         )
 
     def stage(
@@ -214,13 +222,19 @@ def stage_plan(
     tiers: tuple[str, ...] = ("minhash",),
     quality_cols: tuple[str, ...] = (),
     force: bool = False,
+    spark: SparkSession | None = None,
 ) -> list[dict]:
     """Dry-run plan (reference --dry-run / snakemake -n,
     /root/reference/lasvdedup/cli.py:42-43): the stages dedup() would run
     for this config, with done-ness read from existing checkpoints. Pure
     driver-side metadata — no Spark job runs. Uses the SAME checkpoint
     address as dedup() (fingerprint + call_key over tiers/quality_cols),
-    and force=True reports every stage as to-run, mirroring dedup(force)."""
+    and force=True reports every stage as to-run, mirroring dedup(force).
+
+    Pass ``spark`` to probe done-ness through the Hadoop FileSystem API —
+    required whenever checkpoint_dir is not plain local disk (hdfs:, s3a:,
+    file:-URI); without a session the probe falls back to os.path and only
+    sees local paths."""
     names = ["narrow"]
     if "exact" in tiers:
         names.append("edges_exact")
@@ -232,13 +246,21 @@ def stage_plan(
         names.append("edges_substring")
     names += ["edges", "components", "classifications"]
     root = checkpoint_root(cfg, tiers, quality_cols)
+
+    def _probe(p: str) -> bool:
+        if spark is not None:
+            from lasvdedup_spark import fsio
+
+            return fsio.exists(spark, p)
+        return os.path.exists(p)
+
     return [
         {
             "stage": n,
             "done": bool(
                 not force
                 and root
-                and os.path.exists(os.path.join(root, n, "_SUCCESS"))
+                and _probe(os.path.join(root, n, "_SUCCESS"))
             ),
             "fingerprint": cfg.fingerprint(),
         }

@@ -215,18 +215,22 @@ def compact_index(spark: SparkSession, work_dir: str) -> dict:
     then rename — lost the whole index if the driver died in between.)
     Run it between stream runs, not concurrently with one. On Iceberg this
     whole function is ``rewrite_data_files`` (compaction) — the
-    driver-side fs calls below are the sandbox's parquet-directory
-    stand-in for that table service.
+    driver-side fs calls below are the parquet-directory stand-in for that
+    table service, routed through the Hadoop FileSystem API (fsio) so they
+    see the SAME filesystem Spark writes the index to: a driver-local
+    listdir/rename against an HDFS/S3 index would silently no-op.
 
     Returns {"batches_compacted": int, "rows": int}.
     """
-    import shutil
+    from lasvdedup_spark import fsio
 
     index_dir = os.path.join(work_dir, "index")
     idx = read_index_pruned(spark, index_dir, None)
     if idx is None:
         return {"batches_compacted": 0, "rows": 0}
-    all_dirs = [d for d in os.listdir(index_dir) if d.startswith("batch_id=")]
+    all_dirs = [
+        d for d in fsio.listdir(spark, index_dir) if d.startswith("batch_id=")
+    ]
     ids = [int(d.split("=", 1)[1]) for d in all_dirs]
     # nothing to fold: no positive epochs and at most one compaction tree
     if not any(i >= 0 for i in ids) and sum(1 for i in ids if i < 0) <= 1:
@@ -234,7 +238,7 @@ def compact_index(spark: SparkSession, work_dir: str) -> dict:
     new_id = min([0, *ids]) - 1
 
     tmp = os.path.join(work_dir, "_index_compact_tmp")
-    shutil.rmtree(tmp, ignore_errors=True)  # stale tmp from a prior crash
+    fsio.delete(spark, tmp)  # stale tmp from a prior crash
     cols = [c for c in idx.columns if c != "batch_id"]
     # (id, bucket) identifies a band row (same id+bucket => same sig);
     # the dedup folds away crash-remnant duplicates instead of carrying
@@ -245,9 +249,9 @@ def compact_index(spark: SparkSession, work_dir: str) -> dict:
     out.write.mode("overwrite").partitionBy("part").parquet(tmp)
     rows = spark.read.parquet(tmp).count()
 
-    os.rename(tmp, os.path.join(index_dir, f"batch_id={new_id}"))
+    fsio.rename(spark, tmp, os.path.join(index_dir, f"batch_id={new_id}"))
     for d in all_dirs:
-        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+        fsio.delete(spark, os.path.join(index_dir, d))
     return {"batches_compacted": len(all_dirs), "rows": rows}
 
 

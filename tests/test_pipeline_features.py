@@ -181,6 +181,28 @@ def test_checkpoint_address_carries_format_version(spark, tmp_path):
     assert not os.path.exists(os.path.join(legacy, "edges", "part-00000"))
 
 
+def test_checkpoint_resume_on_file_uri_root(spark, tmp_path):
+    """The resume probe goes through the Hadoop FileSystem API: a
+    checkpoint_dir given as a file: URI (os.path.exists would still work
+    here, but the probe must resolve the scheme like it would hdfs:/s3a:)
+    is written, then RESUMED — the second run skips every stage."""
+    from lasvdedup_spark.pipeline import stage_plan
+
+    rows = [
+        ("u/a", None, None, TEXT, "en", 1.0),
+        ("u/b", None, None, TEXT, "en", 9.0),
+    ]
+    pages = _pages(spark, rows)
+    cfg = DedupConfig(checkpoint_dir=f"file://{tmp_path}/ckpt")
+    dedup(spark, pages, cfg).count()
+    plan = stage_plan(cfg, spark=spark)
+    assert all(s["done"] for s in plan), plan
+    # os.path fallback (no session) cannot see through the scheme-d URI on
+    # some path forms; the spark-backed probe is the contract
+    out = dedup(spark, pages, cfg).collect()  # resumes, no recompute error
+    assert len(out) == 2
+
+
 def test_bucket_cap_drop_count_logged(spark, tmp_path):
     """max_bucket_size's contract: dropped band rows are counted into the
     metrics table, never silently truncated."""

@@ -167,6 +167,30 @@ def test_compact_index_preserves_pairs_and_shrinks_listing(spark, tmp_path):
     assert ("u/a1", "u/a3") in pairs and ("u/a2", "u/a3") in pairs
 
 
+def test_compact_index_on_file_uri_workdir(spark, tmp_path):
+    """Compaction's listdir/rename/delete go through the Hadoop FileSystem
+    API (fsio): a work_dir addressed by file: URI — the form any non-local
+    scheme (hdfs:, s3a:) arrives in — compacts correctly; the old
+    os.listdir/shutil path saw nothing behind a scheme."""
+    from lasvdedup_spark.streaming.incremental import compact_index
+
+    input_dir = str(tmp_path / "in")
+    work_dir = f"file://{tmp_path}/work"
+    cfg = DedupConfig()
+    _write_batch(spark, input_dir, "b1", [_page("u/a1", TEXT_A)])
+    _write_batch(spark, input_dir, "b2", [_page("u/a2", TEXT_A)])
+    q = incremental_dedup_query(spark, input_dir, work_dir, cfg)
+    q.awaitTermination(120)
+    res = compact_index(spark, work_dir)
+    assert res["batches_compacted"] == 2 and res["rows"] > 0
+    local_index = str(tmp_path / "work" / "index")
+    assert [d for d in os.listdir(local_index) if d.startswith("batch_id=")] == [
+        "batch_id=-1"
+    ]
+    pairs = {(r["id_a"], r["id_b"]) for r in read_pairs(spark, work_dir).collect()}
+    assert ("u/a1", "u/a2") in pairs
+
+
 def test_read_index_pruned_legacy_layout_no_crash(spark, tmp_path):
     """An index directory written WITHOUT the part column (pre-partitioned
     layout) must full-scan instead of raising AnalysisException on the
