@@ -43,6 +43,70 @@ def make_permutations(num_perms: int, seed: int) -> list[tuple[int, int]]:
     return perms
 
 
+def _cast_config_value(name: str, val, ftype):
+    """Cast one YAML/CLI value to its dataclass field type, loudly.
+
+    Mirrors the reference's per-parameter validate_and_cast
+    (/root/reference/lasvdedup/utils/config_setup.py:55-100): tolerant of
+    the representations YAML/CLI legitimately produce (numeric strings,
+    "true"/"false", integral floats), strict about everything else, and
+    every error names the key."""
+    import typing
+
+    origin = typing.get_origin(ftype)
+    if origin is typing.Union:  # Optional[X]
+        args = [a for a in typing.get_args(ftype) if a is not type(None)]
+        if val is None:
+            return None
+        return _cast_config_value(name, val, args[0])
+
+    def bad() -> ValueError:
+        return ValueError(
+            f"config key {name!r}: cannot cast {val!r} "
+            f"({type(val).__name__}) to {getattr(ftype, '__name__', ftype)}"
+        )
+
+    if ftype is bool:  # before int: bool is a subclass of int
+        if isinstance(val, bool):
+            return val
+        if isinstance(val, str) and val.lower() in ("true", "false"):
+            return val.lower() == "true"
+        raise bad()
+    if ftype is int:
+        if isinstance(val, bool):
+            raise bad()
+        if isinstance(val, int):
+            return val
+        if isinstance(val, float) and val.is_integer():
+            return int(val)
+        if isinstance(val, str):
+            try:
+                return int(val)
+            except ValueError:
+                raise bad() from None
+        raise bad()
+    if ftype is float:
+        if isinstance(val, bool):
+            raise bad()
+        if isinstance(val, (int, float)):
+            return float(val)
+        if isinstance(val, str):
+            try:
+                return float(val)
+            except ValueError:
+                raise bad() from None
+        raise bad()
+    if ftype is str:
+        if isinstance(val, str):
+            return val
+        raise bad()
+    if ftype is dict:
+        if isinstance(val, dict):
+            return val
+        raise bad()
+    raise bad()
+
+
 @dataclass(frozen=True)
 class DedupConfig:
     """All knobs of the dedup pipeline.
@@ -135,8 +199,12 @@ class DedupConfig:
     @classmethod
     def from_yaml(cls, path: str, **overrides) -> "DedupConfig":
         """YAML < explicit kwargs, matching reference precedence
-        (config_setup.py:117-201). Unknown keys fail fast, like the
-        reference's validate_and_cast (config_setup.py:55-100)."""
+        (config_setup.py:117-201). Unknown keys fail fast AND every value
+        is cast/validated against its field type, like the reference's
+        validate_and_cast (config_setup.py:55-100): a YAML
+        ``jaccard_threshold: "0.5"`` becomes float 0.5; an uncastable
+        value raises naming the key — never a string smuggled into the
+        frozen dataclass to fail later (or not at all)."""
         import yaml  # stdlib-adjacent; present wherever pyspark is
 
         with open(path) as f:
@@ -146,4 +214,10 @@ class DedupConfig:
         unknown = set(raw) - known
         if unknown:
             raise ValueError(f"unknown config keys: {sorted(unknown)}")
-        return cls(**raw)
+        import typing
+
+        hints = typing.get_type_hints(cls)
+        casted = {
+            k: _cast_config_value(k, v, hints[k]) for k, v in raw.items()
+        }
+        return cls(**casted)

@@ -213,6 +213,11 @@ def ivf_centroids(
     )
 
 
+# Max |embedding component| the Lloyd fixed-point mean tolerates: scaled by
+# 2^30 and summed as int64 per cluster, 100 * 2^30 * 8e7 rows ~ 2^62.9.
+LLOYD_MAX_ABS = 100.0
+
+
 def ivf_lloyd_centroids(
     vectors: DataFrame,
     n_centroids: int,
@@ -244,6 +249,27 @@ def ivf_lloyd_centroids(
     shuffles. Driver loop of n_iters (1-2 in practice) eager-checkpointed
     rounds, mirroring the CC fixpoint pattern (components.py).
     -> (cid, cvec: array<double>)."""
+    # Fixed-point range guard: the int64 accumulator is safe only while
+    # sum(|component|) * 2^30 per (cluster, position) stays < 2^63 — i.e.
+    # |component| <= LLOYD_MAX_ABS at up to ~8e7 member vectors per
+    # cluster. Checked HERE, loudly, instead of relying on the session's
+    # ANSI setting to surface a wrap mid-aggregation (round-3 advice: the
+    # bound was config-silent). One cheap narrow agg over the input.
+    row = vectors.select(
+        F.max(
+            F.expr(
+                f"aggregate(transform({vec_col}, x -> abs(cast(x as double))), "
+                f"cast(0 as double), (a, b) -> greatest(a, b))"
+            )
+        ).alias("m")
+    ).collect()[0]
+    max_abs = row["m"] or 0.0
+    if max_abs > LLOYD_MAX_ABS:
+        raise ValueError(
+            f"ivf_lloyd_centroids: embedding magnitude {max_abs:g} exceeds "
+            f"the fixed-point accumulator bound ({LLOYD_MAX_ABS:g}); "
+            f"normalize the vectors (e.g. unit-norm) before training"
+        )
     cents = ivf_centroids(vectors, n_centroids, id_col, vec_col).select(
         "cid", F.expr("transform(cvec, x -> cast(x as double))").alias("cvec")
     )

@@ -145,6 +145,21 @@ def test_knn_bruteforce_exact_topk(spark, planted):
     assert top[0]["score"] > 0.9
 
 
+def test_ivf_lloyd_rejects_out_of_range_magnitude(spark):
+    """The int64 fixed-point mean is only safe to a documented magnitude
+    bound; an out-of-range embedding must raise a clear error up front
+    instead of relying on session ANSI mode to surface an overflow
+    mid-aggregation (round-3 advice: the bound was config-silent)."""
+    import pytest
+
+    from lasvdedup_spark.operators.ann import LLOYD_MAX_ABS, ivf_lloyd_centroids
+
+    rows = [(0, [1.0, 2.0]), (1, [0.5, LLOYD_MAX_ABS * 10]), (2, [0.1, 0.2])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="fixed-point accumulator bound"):
+        ivf_lloyd_centroids(vecs, 2, 1)
+
+
 def test_ivf_lloyd_recall_ge_seeded(spark):
     """Deterministic Lloyd training must not lose recall vs raw seeds at
     equal n_probe — and on clustered data with off-centre seeds it should

@@ -27,6 +27,41 @@ def test_config_precedence(tmp_path):
     assert cfg.jaccard_threshold == 0.6 and cfg.target_length == 500
 
 
+def test_yaml_values_cast_and_validated(tmp_path):
+    """Reference validate_and_cast parity (config_setup.py:55-100): string
+    numbers cast to their field types; an uncastable value fails loudly,
+    naming the key — never a string smuggled into the frozen dataclass."""
+    import pytest
+
+    from lasvdedup_spark.config import DedupConfig
+
+    yml = tmp_path / "conf.yaml"
+    yml.write_text(
+        'jaccard_threshold: "0.5"\nclade_size: "12"\n'
+        'detach_outliers: "true"\nnum_perms: 64.0\n'
+    )
+    cfg = DedupConfig.from_yaml(str(yml))
+    assert cfg.jaccard_threshold == 0.5 and isinstance(cfg.jaccard_threshold, float)
+    assert cfg.clade_size == 12 and isinstance(cfg.clade_size, int)
+    assert cfg.detach_outliers is True
+    assert cfg.num_perms == 64 and isinstance(cfg.num_perms, int)
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text('jaccard_threshold: "not-a-number"\n')
+    with pytest.raises(ValueError, match="jaccard_threshold"):
+        DedupConfig.from_yaml(str(bad))
+    bad.write_text("clade_size: 8.5\n")  # non-integral float -> int
+    with pytest.raises(ValueError, match="clade_size"):
+        DedupConfig.from_yaml(str(bad))
+    bad.write_text("lang_thresholds: 3\n")  # Optional[dict]
+    with pytest.raises(ValueError, match="lang_thresholds"):
+        DedupConfig.from_yaml(str(bad))
+    # Optional[dict] passes through both None and a real mapping
+    ok = tmp_path / "ok.yaml"
+    ok.write_text("lang_thresholds:\n  en: 0.6\n")
+    assert DedupConfig.from_yaml(str(ok)).lang_thresholds == {"en": 0.6}
+
+
 def test_unknown_yaml_key_fails_fast(tmp_path):
     yml = tmp_path / "bad.yaml"
     yml.write_text("not_a_field: 1\n")
