@@ -136,6 +136,11 @@ class DedupConfig:
     simhash_hamming: int = 3           # near-identical tier (60-bit simhash)
     substring_min_tokens: int = 16     # long-shared-span tier (token L-gram)
 
+    # --- embedding tier (cosine near-dup over an embeddings DataFrame) ---
+    embedding_threshold: float = 0.9   # duplicate edge: cosine >= (inclusive)
+    ann_tables: int = 4                # hyperplane-LSH banding tables
+    ann_planes: int = 8                # planes per table (buckets = 2^planes)
+
     # --- per-language threshold overrides ---
     # Web analog of the reference's segment-specific THRESHOLDS nesting
     # (config_setup.py:154-184: per-segment PWD replaces the global one):

@@ -244,6 +244,8 @@ def stage_plan(
         names.append("edges_simhash")
     if "substring" in tiers:
         names.append("edges_substring")
+    if "embedding" in tiers:
+        names.append("edges_embedding")
     names += ["edges", "components", "classifications"]
     root = checkpoint_root(cfg, tiers, quality_cols)
 
@@ -311,16 +313,28 @@ def dedup(
     tiers: tuple[str, ...] = ("minhash",),
     quality_cols: tuple[str, ...] = (),
     force: bool = False,
+    embeddings: DataFrame | None = None,
+    embedding_id_col: str = "url",
+    embedding_vec_col: str = "embedding",
 ) -> DataFrame:
     """Public API: pages -> classifications DataFrame (lazy unless
     checkpointing). The analog of the reference's importable
     ``determine_duplicates(config=...)`` entry point
     (/root/reference/lasvdedup/utils/determine_duplicates.py:52-153).
 
-    tiers ⊆ {"exact", "minhash", "simhash", "substring"} select which edge
-    generators feed the shared connected-components + classification stages.
+    tiers ⊆ {"exact", "minhash", "simhash", "substring", "embedding"}
+    select which edge generators feed the shared connected-components +
+    classification stages.
     "exact" edges are implied by "minhash" (identical text ⇒ identical
     signature ⇒ jaccard 1.0), so the default single tier is complete.
+
+    The "embedding" tier takes a separate ``embeddings`` DataFrame
+    (embedding_id_col, embedding_vec_col: array<float|double>) whose ids
+    MUST be page ids (a multimodal pipeline derives them from the same
+    rows); its cosine-near-dup edges (>= cfg.embedding_threshold,
+    hyperplane-LSH banded with cfg.ann_tables x cfg.ann_planes) merge into
+    the same component/cascade machinery — tiers=("minhash", "embedding")
+    is the one-call cross-modal dedup.
 
     quality_cols: extra page columns ranked DESCENDING after
     dist-to-target when selecting each cluster's representative — the
@@ -445,6 +459,34 @@ def dedup(
                 "jaccard", F.lit(1.0)  # shared-span edges are hard links
             ),
         )
+        edge_frames.append(_edge_cols(e, transitive=False))
+    if "embedding" in tiers:
+        if embeddings is None:
+            raise ValueError(
+                "tiers includes 'embedding' but no embeddings DataFrame "
+                "was passed to dedup()"
+            )
+        from lasvdedup_spark.operators import ann
+
+        def _emb_edges() -> DataFrame:
+            # dim from one row (tiny limit-1 job): the deterministic
+            # hyperplane tables are a function of (tables, planes, dim)
+            dim = len(
+                embeddings.select(embedding_vec_col).first()[embedding_vec_col]
+            )
+            tables = ann.plane_tables(cfg.ann_tables, cfg.ann_planes, dim)
+            return ann.cosine_dup_pairs(
+                embeddings,
+                tables,
+                cfg.embedding_threshold,
+                id_col=embedding_id_col,
+                vec_col=embedding_vec_col,
+                salt_buckets=cfg.salt_buckets,
+                skew_cutoff=cfg.skew_bucket_cutoff,
+                max_bucket_size=cfg.max_bucket_size,
+            ).withColumnRenamed("cosine", "jaccard")
+
+        e = r.stage("edges_embedding", _emb_edges)
         edge_frames.append(_edge_cols(e, transitive=False))
     if not edge_frames:
         raise ValueError("at least one tier required")

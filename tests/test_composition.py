@@ -22,6 +22,54 @@ from lasvdedup_spark.operators.components import assign_components
 DIM = 16
 
 
+def test_embedding_tier_composes_through_dedup(spark):
+    """tiers=("minhash", "embedding") as ONE dedup() call: a planted
+    cross-modal cluster — A~B by text, B~C by embedding ONLY — must land
+    in one component, with stage_plan listing the embedding stage."""
+    import pytest
+
+    from lasvdedup_spark.pipeline import dedup, stage_plan
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again every day"
+    rows = [
+        ("u/a", text_a),
+        ("u/b", text_a + " extra"),            # near-dup of A by text
+        ("u/c", "completely different words about catalyst and tungsten engines"),
+        ("u/d", "an unrelated singleton page mentioning nothing shared at all"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(DIM)
+    noise = rng.standard_normal(DIM)
+    noise *= 0.05 * np.linalg.norm(base) / np.linalg.norm(noise)
+    far1, far2 = rng.standard_normal(DIM) * 3, rng.standard_normal(DIM) * 3
+    emb = spark.createDataFrame(
+        [
+            ("u/a", far1.tolist()),
+            ("u/b", base.tolist()),
+            ("u/c", (base + noise).tolist()),   # B~C by embedding only
+            ("u/d", far2.tolist()),
+        ],
+        "url string, embedding array<double>",
+    )
+    cfg = DedupConfig(embedding_threshold=0.95)
+    out = dedup(
+        spark, pages, cfg, tiers=("minhash", "embedding"), embeddings=emb
+    ).collect()
+    comp = {r["url"]: r["component"] for r in out}
+    assert comp["u/a"] == comp["u/b"] == comp["u/c"]
+    assert comp["u/d"] != comp["u/a"]
+    # exactly one kept doc in the merged cluster + the singleton
+    kept = {r["url"] for r in out if r["classification"] == "good"}
+    assert "u/d" in kept and len(kept) == 2
+
+    plan = stage_plan(cfg, tiers=("minhash", "embedding"))
+    assert "edges_embedding" in [s["stage"] for s in plan]
+
+    with pytest.raises(ValueError, match="embedding"):
+        dedup(spark, pages, cfg, tiers=("embedding",))
+
+
 def test_embedding_edges_feed_cascade(spark):
     rng = np.random.default_rng(7)
     base = rng.standard_normal((30, DIM))
