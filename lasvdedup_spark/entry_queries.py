@@ -1360,6 +1360,68 @@ where v.jaccard >= greatest(a.t, b.t)
 """
 
 
+def q_streaming_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-batch incremental (streaming) dedup replay: the
+    documents table is split by doc_id parity into two micro-batch files,
+    run through the foreachBatch incremental pipeline (within-batch
+    self-join + new-vs-index join against the persisted band index), and
+    the FINAL accumulated pair set must equal the one-shot batch LSH
+    verify — i.e. the dup_pairs_verified oracle. Pair content is
+    batch-order independent (every colliding pair is found either within
+    its batch or when the later doc meets the index), so the replay is
+    fully deterministic. Ids ride through the stream as zero-padded
+    strings (string order == numeric order) and cast back to long."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from lasvdedup_spark.streaming.incremental import (
+        incremental_dedup_query,
+        read_pairs,
+    )
+
+    tmp = _tempfile.mkdtemp(prefix="lasv_stream_oracle_")
+    input_dir = _os.path.join(tmp, "in")
+    work_dir = _os.path.join(tmp, "work")
+    _os.makedirs(input_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("_half"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    for half in (0, 1):
+        # one flat parquet FILE per micro-batch (the file stream source
+        # lists flat files); stage a 1-file write, move the part file in
+        stage = _os.path.join(tmp, f"stage{half}")
+        docs.where(F.col("_half") == half).drop("_half").coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in _os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        _os.rename(
+            _os.path.join(stage, part),
+            _os.path.join(input_dir, f"batch{half}.parquet"),
+        )
+    q = incremental_dedup_query(spark, input_dir, work_dir, CFG)
+    q.awaitTermination(600)
+    out = read_pairs(spark, work_dir).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+    # materialize before deleting the backing files; the caller collects
+    # from the cached blocks
+    out = out.localCheckpoint(eager=True)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+O_STREAMING_INCREMENTAL_PAIRS = O_DUP_PAIRS_VERIFIED
+
+
 QUERIES = {
     "exact_dup_clusters": q_exact_dup_clusters,
     "exact_dup_star_edges": q_exact_dup_star_edges,
@@ -1396,6 +1458,7 @@ QUERIES = {
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
     "binary_meta": q_binary_meta,
     "decode_media": q_decode_media,
+    "streaming_incremental_pairs": q_streaming_incremental_pairs,
 }
 
 ORACLES = {
@@ -1434,4 +1497,5 @@ ORACLES = {
     "ngram_jaccard_verified": O_NGRAM_JACCARD_VERIFIED,
     "binary_meta": O_BINARY_META,
     "decode_media": O_DECODE_MEDIA,
+    "streaming_incremental_pairs": O_STREAMING_INCREMENTAL_PAIRS,
 }
