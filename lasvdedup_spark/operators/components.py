@@ -74,7 +74,10 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, assume_distinct: bool = False
+    edges: DataFrame,
+    max_iter: int = 50,
+    assume_distinct: bool = False,
+    input_cached: bool = False,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(id, component) for every node that
     appears in an edge; component = min id in the component.
@@ -90,6 +93,16 @@ def connected_components(
     passes True and saves a full shuffle of the edges. Duplicate edges would not corrupt the
     RESULT (the star operations re-distinct each round) — only the
     first-round cost — but the flag should still be set truthfully.
+
+    input_cached=True promises the caller already materialized ``edges``
+    (an eager localCheckpoint or a written+re-read stage checkpoint): skip
+    this function's own eager checkpoint — round 1's multiple references
+    to the narrowed edge view then re-run only a cheap projection over the
+    caller's cache instead of paying a SECOND cache write of nearly the
+    same rows (the ~4.3 s "edges materialization" item in the round-3
+    scaling profile, BENCH.md). Leave False for un-materialized plans:
+    round 1 references the input from several sibling subtrees, which
+    would otherwise re-execute the whole upstream per reference.
     """
     e = edges.select(
         F.col(edges.columns[0]).cast("string").alias("src"),
@@ -97,7 +110,9 @@ def connected_components(
     ).where(F.col("src") != F.col("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=True)
+    elif not input_cached:
+        e = e.localCheckpoint(eager=True)
 
     prev = None
     for _ in range(max_iter):
@@ -121,12 +136,14 @@ def connected_components(
 
 def assign_components(
     all_ids: DataFrame, edges: DataFrame, id_col: str = "url",
-    assume_distinct: bool = False,
+    assume_distinct: bool = False, input_cached: bool = False,
 ) -> DataFrame:
     """(id, component) for EVERY row in all_ids; nodes without edges become
     their own singleton component (reference Case 1 SingleSequence feed,
     sequence_grouping.py:210-221)."""
-    comp = connected_components(edges, assume_distinct=assume_distinct)
+    comp = connected_components(
+        edges, assume_distinct=assume_distinct, input_cached=input_cached
+    )
     ids = all_ids.select(F.col(id_col).cast("string").alias("id")).distinct()
     return ids.join(comp, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")

@@ -29,6 +29,7 @@ def salted_pair_join(
     skew_cutoff: int,
     count_alias: str = "n_keys",
     id_col: str = "id",
+    carry: str | None = None,
 ) -> DataFrame:
     """keyed(id, key) -> distinct unordered pairs (id_a < id_b, <count_alias>)
     where <count_alias> = number of distinct keys the pair collided on.
@@ -44,14 +45,40 @@ def salted_pair_join(
     unordered pair exactly once (from the orientation where the smaller id
     sits on the left) while spreading the key's pair space over S tasks.
     AQE skew-join stays on as a backstop for milder imbalance.
+
+    carry: optional NARROW per-id payload column in ``keyed`` to ride
+    through the join into the output as <carry>_a / <carry>_b. For a
+    scalar payload (simhash's one int64) this deletes the two
+    join-the-values-back-for-verify shuffles entirely; for wide payloads
+    (minhash signatures, embedding vectors) do NOT carry — the payload
+    would multiply through every (key, id) row of the shuffle, which is
+    exactly what the candidates-then-verify shape avoids.
     """
     kid = F.col(id_col)
+    pa, pb = (f"{carry}_a", f"{carry}_b") if carry else (None, None)
+
+    def _pair_cols(prefix_a: str = "a", prefix_b: str = "b") -> list:
+        cols = [
+            F.col(f"{prefix_a}.{id_col}").alias("id_a"),
+            F.col(f"{prefix_b}.{id_col}").alias("id_b"),
+        ]
+        if carry:
+            cols += [
+                F.col(f"{prefix_a}.{carry}").alias(pa),
+                F.col(f"{prefix_b}.{carry}").alias(pb),
+            ]
+        return cols
+
+    # payload is functionally dependent on id, so grouping by it too keeps
+    # the same (id_a, id_b) groups while letting it ride the aggregation
+    group_cols = ["id_a", "id_b"] + ([pa, pb] if carry else [])
+
     if salt_buckets <= 1:
         a, b = keyed.alias("a"), keyed.alias("b")
         joined = a.join(b, key_col).where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        return joined.groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        ).agg(F.count("*").alias(count_alias))
+        return joined.select(*_pair_cols()).groupBy(*group_cols).agg(
+            F.count("*").alias(count_alias)
+        )
 
     # Referenced by three subtrees (census, small path, salted path); lazy
     # localCheckpoint so the upstream pipeline runs once per action, not
@@ -66,9 +93,7 @@ def salted_pair_join(
         small.alias("a")
         .join(small.alias("b"), key_col)
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select(*_pair_cols())
     )
 
     skewed = keyed.join(F.broadcast(big), key_col, "left_semi")
@@ -79,13 +104,11 @@ def salted_pair_join(
         left.alias("a")
         .join(right.alias("b"), [key_col, "_salt"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select(*_pair_cols())
     )
 
     return (
         plain.unionByName(salted)
-        .groupBy("id_a", "id_b")
+        .groupBy(*group_cols)
         .agg(F.count("*").alias(count_alias))
     )

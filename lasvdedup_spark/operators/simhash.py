@@ -101,18 +101,19 @@ def simhash_dup_pairs(
     is WORSE than minhash's: a boilerplate cluster of m near-identical
     pages shares all 4 band values, so the naive band self-join puts
     4 * m^2/2 pair rows in four tasks. The salted join spreads each hot
-    band key over cfg.salt_buckets tasks; the (narrow, 2-column) simhash
-    values are joined back only for the bit_count verify, the same
-    candidates->verify shape minhash uses (operators/minhash.py:107-125).
+    band key over cfg.salt_buckets tasks.
 
-    eager=True materializes the simhash fold NOW (localCheckpoint): it
-    feeds the band side AND both verify joins, which are SIBLING stages of
-    one downstream job — without materialization each sibling computes the
-    full fold (Spark has no cross-subtree CSE, and a lazy cache races; see
-    pipeline.StageRunner.stage). Default False keeps the operator lazy —
-    no Spark job at plan-composition time, legal to compose onto streaming
-    DataFrames — at the cost of the fold re-executing per sibling; batch
-    callers on hot paths (bench, dedup()) opt in.
+    Unlike minhash (64-int signatures -> candidates first, values joined
+    back to verify), the simhash value is ONE int64, so it rides THROUGH
+    the salted join (carry=) and the bit_count verify is a plain filter —
+    no verify joins at all: fold -> band explode -> salted join -> filter
+    is the whole plan (two shuffles + the skew-census probes). The fold is
+    then referenced exactly once, so the operator is genuinely lazy with
+    no shared-subtree hazard.
+
+    eager=True localCheckpoints the fold first — only useful when the
+    caller composes this result into something that scans it repeatedly;
+    kept for API symmetry with minhash_dup_pairs.
     """
     if cfg.simhash_hamming > N_BANDS - 1:
         raise ValueError(
@@ -130,17 +131,14 @@ def simhash_dup_pairs(
             (F.col("band_id").cast("long") * F.lit(1 << BAND_BITS))
             + F.col("band_val")
         ).alias("band_key"),
+        "simhash",
     )
     cand = salted_pair_join(
         keyed, "band_key", cfg.salt_buckets, cfg.skew_bucket_cutoff,
-        count_alias="n_bands",
+        count_alias="n_bands", carry="simhash",
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        cand.withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)"))
         .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
         .select("id_a", "id_b", "hamming")
     )

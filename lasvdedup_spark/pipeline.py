@@ -445,9 +445,7 @@ def dedup(
     if "simhash" in tiers:
         e = r.stage(
             "edges_simhash",
-            # eager: the simhash fold feeds sibling stages (band + 2 verify
-            # joins) of this stage's materializing job; see the operator
-            lambda: simhash.simhash_dup_pairs(narrow, cfg, eager=True).withColumn(
+            lambda: simhash.simhash_dup_pairs(narrow, cfg).withColumn(
                 "jaccard", 1.0 - F.col("hamming") / F.lit(60.0)
             ),
         )
@@ -515,7 +513,12 @@ def dedup(
     else:
         refined = merged
 
-    edges = r.stage("edges", lambda: refined, heavy=True)
+    # eager: edges are materialized HERE once (cache write or stage
+    # parquet), and the CC loop is told so (input_cached) — its first round
+    # then recomputes only a narrow projection per reference instead of
+    # paying a second, nearly-identical cache write (the ~4.3 s edges
+    # materialization item in the round-3 scaling profile, BENCH.md)
+    edges = r.stage("edges", lambda: refined, heavy=True, eager=True)
     if tag_transitive and "transitive" not in edges.columns:
         # A resumed edges checkpoint missing the 'transitive' column would
         # silently degrade classify's pair accounting (every >clade_size
@@ -533,7 +536,9 @@ def dedup(
         "components",
         # assume_distinct: every tier ends in a groupBy (or the merge is
         # one), so the defensive de-dup exchange inside CC is redundant here
-        lambda: components.assign_components(narrow, edges, assume_distinct=True),
+        lambda: components.assign_components(
+            narrow, edges, assume_distinct=True, input_cached=True
+        ),
         heavy=True,
     )
 

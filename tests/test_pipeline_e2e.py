@@ -146,7 +146,9 @@ def test_resume_from_checkpoint(spark, corpus, tmp_path):
     )
     assert f_rows == s_rows
     import os
-    fp_dir = os.path.join(str(tmp_path), cfg.fingerprint())
+
+    from lasvdedup_spark.pipeline import checkpoint_root
+    fp_dir = checkpoint_root(cfg)
     assert os.path.exists(os.path.join(fp_dir, "classifications", "_SUCCESS"))
     assert os.path.exists(os.path.join(fp_dir, "_metrics"))
 
