@@ -42,7 +42,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint root (resume support)")
     p.add_argument(
         "--tiers", default="minhash",
-        help="comma list from {exact,minhash,simhash,substring}",
+        help="comma list from {exact,minhash,simhash,substring,embedding}",
+    )
+    p.add_argument(
+        "--embeddings", default=None,
+        help="embeddings parquet (url, embedding: array<float>) — required "
+             "when --tiers includes 'embedding'; its cosine-near-dup edges "
+             "merge into the shared component/cascade stages",
     )
     p.add_argument("--jaccard-threshold", type=float, default=None)
     p.add_argument("--target-length", type=int, default=None)
@@ -108,6 +114,17 @@ def main(argv: list[str] | None = None) -> int:
     tiers = tuple(t.strip() for t in args.tiers.split(",") if t.strip())
     quality_cols = tuple(c.strip() for c in args.quality_cols.split(",") if c.strip())
 
+    # fail before Spark starts: tier typos and a missing --embeddings are
+    # config errors, not mid-job surprises
+    from lasvdedup_spark.pipeline import validate_tiers
+
+    validate_tiers(tiers)
+    if "embedding" in tiers and not args.embeddings:
+        raise SystemExit(
+            "--tiers includes 'embedding' but no --embeddings parquet "
+            "path was given"
+        )
+
     if args.dry_run:
         from lasvdedup_spark.pipeline import stage_plan
 
@@ -137,9 +154,12 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     pages = spark.read.parquet(args.input)
+    embeddings = (
+        spark.read.parquet(args.embeddings) if args.embeddings else None
+    )
     out = dedup(
         spark, pages, cfg, tiers=tiers, quality_cols=quality_cols,
-        force=args.force,
+        force=args.force, embeddings=embeddings,
     )
     if args.partition_output:
         from lasvdedup_spark.sinks import write_classifications

@@ -190,6 +190,22 @@ def validate_pages_schema(
         )
 
 
+KNOWN_TIERS = ("exact", "minhash", "simhash", "substring", "embedding")
+
+
+def validate_tiers(tiers: tuple[str, ...]) -> None:
+    """Fail fast on unknown tier names. Without this a typo
+    (tiers=("minhash","simhsh")) silently drops the tier — the run
+    completes with fewer edges and no error, the worst failure mode for a
+    dedup pipeline. Mirrors the reference's choices= enforcement on its
+    CLI enums (/root/reference/lasvdedup/cli.py:13-100)."""
+    unknown = [t for t in tiers if t not in KNOWN_TIERS]
+    if unknown:
+        raise ValueError(
+            f"unknown tier(s) {unknown}; valid tiers are {list(KNOWN_TIERS)}"
+        )
+
+
 def _call_key(tiers: tuple[str, ...], quality_cols: tuple[str, ...]) -> str:
     """Checkpoint-address suffix for call-level (non-DedupConfig) semantics.
     tiers/quality_cols change stage outputs: two dedup() calls with the same
@@ -235,6 +251,7 @@ def stage_plan(
     required whenever checkpoint_dir is not plain local disk (hdfs:, s3a:,
     file:-URI); without a session the probe falls back to os.path and only
     sees local paths."""
+    validate_tiers(tiers)
     names = ["narrow"]
     if "exact" in tiers:
         names.append("edges_exact")
@@ -352,6 +369,7 @@ def dedup(
     from lasvdedup_spark.operators import components, exact, minhash, simhash, substring
 
     cfg = cfg or DedupConfig()
+    validate_tiers(tiers)
     lang_cols = ("lang",) if cfg.lang_thresholds else ()
     validate_pages_schema(pages, ("url", "text", *quality_cols, *lang_cols))
     # tiers/quality_cols change stage outputs but live outside DedupConfig:

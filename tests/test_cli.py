@@ -243,3 +243,43 @@ def test_iceberg_write_path_runs_or_skips(spark, tmp_path):
     # a real catalog existed: verify partitioned round-trip
     back = spark.read.table("local.db.cls_test")
     assert back.count() == 2
+
+
+def test_cli_embedding_tier_end_to_end(spark, tmp_path, capsys):
+    """--tiers minhash,embedding --embeddings PATH drives the cross-modal
+    merge through the CLI: a pair near-dup ONLY by embedding must share a
+    component in the written output."""
+    import numpy as np
+
+    rows = [
+        ("u/a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("u/b", "completely different words about catalyst and tungsten engines"),
+        ("u/c", "an unrelated singleton page mentioning nothing shared at all"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    noise = rng.standard_normal(16)
+    noise *= 0.05 * float(np.linalg.norm(base) / np.linalg.norm(noise))
+    emb = spark.createDataFrame(
+        [
+            ("u/a", base.tolist()),
+            ("u/b", (base + noise).tolist()),  # a~b by embedding only
+            ("u/c", (rng.standard_normal(16) * 3).tolist()),
+        ],
+        "url string, embedding array<double>",
+    )
+    inp, embp, outp = (str(tmp_path / d) for d in ("pages", "emb", "out"))
+    pages.write.parquet(inp)
+    emb.write.parquet(embp)
+
+    rc = main(
+        ["--input", inp, "--output", outp,
+         "--tiers", "minhash,embedding", "--embeddings", embp]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["tiers"] == ["minhash", "embedding"]
+    out = spark.read.parquet(outp)
+    comp = {r["url"]: r["component"] for r in out.collect()}
+    assert comp["u/a"] == comp["u/b"] != comp["u/c"]
