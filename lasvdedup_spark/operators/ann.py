@@ -93,15 +93,26 @@ def hyperplane_bucket_expr(planes: list[list[int]], vec_col: str = "embedding"):
     textually-unrolled form emitted dim x planes element_at terms into a
     single generated method — past ~2k terms janino aborts with "Code
     grows beyond 64 KB" and the whole stage silently falls back to
-    interpreted evaluation."""
-    vec = F.col(vec_col)
-    out = F.lit(0).cast("long")
+    interpreted evaluation.
+
+    The expression is assembled as ONE SQL string parsed by a single
+    F.expr call: the Column-API form (a Python loop of F.lit(array) +
+    zip_with/aggregate lambdas) costs ~30 ms of py4j round-trips PER
+    plane-literal — ~3 s of driver time for 4x8 planes at ANY data scale,
+    which dominated the whole ann bench query. Parsing the equivalent
+    ~10 KB SQL text server-side is one call and milliseconds; the parsed
+    plan (and therefore the float summation order and every sign
+    decision) is identical."""
+    terms = []
     for p, row in enumerate(planes):
-        w = F.lit([float(s) for s in row])
-        prod = F.zip_with(vec, w, lambda x, s: x.cast("double") * s)
-        dot = F.aggregate(prod, F.lit(0.0), lambda acc, t: acc + t)
-        out = out + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-    return out.cast("long")
+        arr = ",".join(f"{float(s):.1f}D" for s in row)
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            f"(x, s) -> CAST(x AS DOUBLE) * s), "
+            f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+        terms.append(f"(CASE WHEN {dot} > CAST(0.0 AS DOUBLE) THEN {1 << p}L ELSE 0L END)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
 def ann_buckets(vectors: DataFrame, planes: list[list[int]],

@@ -263,3 +263,24 @@ def test_extract_text_template_path_unchanged(spark, docs):
         .count()
     )
     assert bad == 0
+
+
+def test_simhash_arrow_fold_equals_sql_fold(spark):
+    """The vectorized Arrow fold and the pure-SQL fold must produce
+    bit-identical simhash values on BOTH hash families, including empty,
+    null, single-token, and very long documents."""
+    rows = [
+        ("empty", ""),
+        ("null", None),
+        ("one", "solo"),
+        ("dup", "alpha beta alpha beta alpha"),
+        ("long", " ".join(f"tok{i % 97}" for i in range(20000))),
+        ("uni", "pagé ☃ tëst wörds"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for fam in ("md5", "xxhash64"):
+        a = {r["id"]: r["simhash"]
+             for r in simhash(docs, "doc_id", hash_family=fam, impl="arrow").collect()}
+        s = {r["id"]: r["simhash"]
+             for r in simhash(docs, "doc_id", hash_family=fam, impl="sql").collect()}
+        assert a == s, fam
