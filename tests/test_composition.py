@@ -154,3 +154,64 @@ def test_lcs_kernel_matches_dp_oracle(pair):
 
     a, b = pair
     assert _lcs_tokens_kernel(a, b) == _lcs_dp(a, b)
+
+
+def test_all_five_tiers_compose_in_one_dedup_call(spark, tmp_path):
+    """tiers=("exact","minhash","simhash","substring","embedding") in ONE
+    dedup() call: every edge generator feeds the shared merge (max-jaccard,
+    max-transitive) and CC/cascade. Each planted cluster is reachable by a
+    DIFFERENT tier only:
+      - e1/e2: byte-identical (exact; also minhash)
+      - m1/m2: high token-overlap near-dups (minhash)
+      - v1/v2: disjoint texts, near-identical embeddings (embedding only)
+      - s1/s2: a long shared span inside otherwise disjoint text (substring)
+      - solo: singleton
+    The checkpointed run must agree with the uncheckpointed one."""
+    from lasvdedup_spark.pipeline import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "under a warm afternoon sun while birds keep singing softly")
+    span = " ".join(f"shared{i}" for i in range(20))
+    rows = [
+        ("e1", base), ("e2", base),
+        ("m1", "a second distinct corpus paragraph walking through harbor "
+               "streets at dawn carrying baskets of fresh bread and fruit "
+               "toward the market square extra words here"),
+        ("m2", "a second distinct corpus paragraph walking through harbor "
+               "streets at dawn carrying baskets of fresh bread and fruit "
+               "toward the market square extra words there"),
+        ("v1", "completely unrelated text about catalyst engines"),
+        ("v2", "different words entirely concerning tungsten pipelines"),
+        ("s1", f"alpha beta {span} gamma delta"),
+        ("s2", f"omega psi {span} chi phi"),
+        ("solo", "a singleton document sharing nothing with anything else"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    rng = np.random.default_rng(3)
+    vbase = rng.standard_normal(DIM)
+    noise = rng.standard_normal(DIM)
+    noise *= 0.03 * float(np.linalg.norm(vbase) / np.linalg.norm(noise))
+    emb_rows = [("v1", vbase.tolist()), ("v2", (vbase + noise).tolist())] + [
+        (u, (rng.standard_normal(DIM) * (3 + i)).tolist())
+        for i, u in enumerate(["e1", "e2", "m1", "m2", "s1", "s2", "solo"])
+    ]
+    emb = spark.createDataFrame(emb_rows, "url string, embedding array<double>")
+
+    tiers = ("exact", "minhash", "simhash", "substring", "embedding")
+    cfg = DedupConfig(embedding_threshold=0.95, substring_min_tokens=16)
+    out = dedup(spark, pages, cfg, tiers=tiers, embeddings=emb).collect()
+    comp = {r["url"]: r["component"] for r in out}
+    assert comp["e1"] == comp["e2"]
+    assert comp["m1"] == comp["m2"]
+    assert comp["v1"] == comp["v2"]
+    assert comp["s1"] == comp["s2"]
+    # the planted clusters stay separate from each other and from solo
+    reps = {comp["e1"], comp["m1"], comp["v1"], comp["s1"], comp["solo"]}
+    assert len(reps) == 5
+    assert len(out) == 9
+
+    cfg_ck = cfg.with_overrides(checkpoint_dir=str(tmp_path))
+    ck = dedup(spark, pages, cfg_ck, tiers=tiers, embeddings=emb).collect()
+    assert {(r["url"], r["component"]) for r in ck} == {
+        (r["url"], r["component"]) for r in out
+    }
