@@ -38,7 +38,16 @@ def main() -> None:
         app_name="lasvdedup_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 32),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "48g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+            # Same broadcast sizing bench_scaling.py uses (and a real
+            # deployment tunes to its executor memory): the narrow int32
+            # signature table broadcasts into the verify joins instead of
+            # shuffling — measured ~9% off e2e at sf0.1/32c. AQE still
+            # decides per runtime stats.
+            "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # Production hash family: xxhash64 (native Spark expression). The md5
