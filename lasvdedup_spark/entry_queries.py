@@ -1207,6 +1207,55 @@ from j0 where inter / (la + lb - inter) >= {CFG.jaccard_threshold}
 """
 
 
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup over LSH candidates: c_a = |A∩B|/|A|,
+    c_b = |A∩B|/|B|, keep pairs where either >= strong_threshold. Catches
+    subset duplication (a doc quoted wholesale inside a longer one) that
+    symmetric Jaccard under-scores (operators/minhash.containment_pairs)."""
+    from lasvdedup_spark.operators.minhash import (
+        band_buckets,
+        candidate_pairs,
+        containment_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.withColumn("tokens", tokens_expr("text"))
+        .select("doc_id", shingles_expr(CFG.shingle_k).alias("sh"))
+    )
+    cand = candidate_pairs(band_buckets(_doc_sigs(spark, sf_dir), CFG), CFG)
+    return containment_pairs(
+        cand, sh, CFG.strong_threshold, id_col="doc_id"
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "containment_a",
+        "containment_b",
+    )
+
+
+O_NGRAM_CONTAINMENT_PAIRS = f"""
+with {_DK_BANDS_CTE},
+cand as (
+  select a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b using (bucket)
+  where a.doc_id < b.doc_id
+  group by 1, 2),
+c0 as (
+  select c.id_a, c.id_b,
+         len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))::DOUBLE as inter,
+         len(sa.shingles)::DOUBLE as la, len(sb.shingles)::DOUBLE as lb
+  from cand c
+  join shing sa on sa.doc_id = c.id_a
+  join shing sb on sb.doc_id = c.id_b
+  where len(sa.shingles) > 0 and len(sb.shingles) > 0)
+select id_a, id_b,
+       round(inter / la, 6) as containment_a,
+       round(inter / lb, 6) as containment_b
+from c0 where greatest(inter / la, inter / lb) >= {CFG.strong_threshold}
+"""
+
+
 _MAGICS = "'<htm','PNG0','RIFF','FTYP'"
 _CTYPES = {
     "<htm": "text/html",
@@ -1456,6 +1505,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
     "binary_meta": q_binary_meta,
     "decode_media": q_decode_media,
     "streaming_incremental_pairs": q_streaming_incremental_pairs,
@@ -1495,6 +1545,7 @@ ORACLES = {
     "ivf_topk": O_IVF_TOPK(),
     "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS(),
     "ngram_jaccard_verified": O_NGRAM_JACCARD_VERIFIED,
+    "ngram_containment_pairs": O_NGRAM_CONTAINMENT_PAIRS,
     "binary_meta": O_BINARY_META,
     "decode_media": O_DECODE_MEDIA,
     "streaming_incremental_pairs": O_STREAMING_INCREMENTAL_PAIRS,

@@ -125,6 +125,53 @@ def verified_pairs(
     )
 
 
+def containment_pairs(
+    pairs: DataFrame,
+    shingle_sets: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    set_col: str = "sh",
+) -> DataFrame:
+    """Asymmetric containment verify over candidate pairs:
+    c_a = |A∩B| / |A| (how much of A lies inside B), c_b = |A∩B| / |B|.
+    Keeps pairs where EITHER direction >= threshold (inclusive).
+
+    Symmetric Jaccard misses subset duplication — a page quoted wholesale
+    inside a longer page scores J = |A|/|B| (small for |B| >> |A|) but
+    c_a = 1.0. Containment is the standard web-dedup signal for
+    quote/boilerplate/subset dups (Broder's containment sketches).
+
+    Same scale shape as verified_pairs: candidates come from LSH banding
+    (never all-pairs), the shingle-set table joins in per side (AQE
+    broadcasts when small), and the set ops are JVM built-ins
+    (array_intersect/size) — no UDF. Empty shingle sets are excluded
+    before the division (containment is undefined for an empty doc).
+    -> (id_a, id_b, containment_a, containment_b)."""
+    a = shingle_sets.select(
+        F.col(id_col).alias("id_a"), F.col(set_col).alias("_sh_a")
+    )
+    b = shingle_sets.select(
+        F.col(id_col).alias("id_b"), F.col(set_col).alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where((F.size("_sh_a") > 0) & (F.size("_sh_b") > 0))
+        .withColumn("containment_a", inter / F.size("_sh_a"))
+        .withColumn("containment_b", inter / F.size("_sh_b"))
+        .where(
+            F.greatest("containment_a", "containment_b") >= F.lit(threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment_a", 6).alias("containment_a"),
+            F.round("containment_b", 6).alias("containment_b"),
+        )
+    )
+
+
 def minhash_dup_pairs(
     pages: DataFrame,
     cfg: DedupConfig,

@@ -284,3 +284,33 @@ def test_simhash_arrow_fold_equals_sql_fold(spark):
         s = {r["id"]: r["simhash"]
              for r in simhash(docs, "doc_id", hash_family=fam, impl="sql").collect()}
         assert a == s, fam
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a much longer one: Jaccard
+    ~= |A|/|B| (low), containment_a = 1.0 — the asymmetric verify keeps it
+    at a threshold the symmetric one fails."""
+    from pyspark.sql import functions as F
+
+    from lasvdedup_spark.functions.text import shingles_expr, tokens_expr
+    from lasvdedup_spark.operators.minhash import containment_pairs
+
+    quote = " ".join(f"quoted{i}" for i in range(12))
+    filler = " ".join(f"filler{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [("a", quote), ("b", f"{filler} {quote}"), ("c", "nothing related")],
+        "doc_id string, text string",
+    )
+    sh = df.withColumn("tokens", tokens_expr("text")).select(
+        "doc_id", shingles_expr(4).alias("sh")
+    )
+    cand = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1)], "id_a string, id_b string, n_bands int"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(cand, sh, 0.8, id_col="doc_id").collect()
+    }
+    assert ("a", "b") in out and out[("a", "b")][0] == 1.0
+    assert out[("a", "b")][1] < 0.5  # the symmetric signal containment beats
+    assert ("a", "c") not in out
