@@ -103,9 +103,16 @@ def hyperplane_bucket_expr(planes: list[list[int]], vec_col: str = "embedding"):
     ~10 KB SQL text server-side is one call and milliseconds; the parsed
     plan (and therefore the float summation order and every sign
     decision) is identical."""
+    if not planes:
+        # zero planes = one bucket; without the guard the SQL assembly
+        # below emits malformed 'CAST( AS BIGINT)' and throws at parse
+        return F.lit(0).cast("long")
     terms = []
     for p, row in enumerate(planes):
-        arr = ",".join(f"{float(s):.1f}D" for s in row)
+        # repr() keeps full double precision — '%.1f' silently truncated
+        # any non-integral plane weight a caller might pass, changing
+        # buckets vs the Column-API form this string claims to replicate
+        arr = ",".join(f"{float(s)!r}D" for s in row)
         dot = (
             f"aggregate(zip_with(`{vec_col}`, array({arr}), "
             f"(x, s) -> CAST(x AS DOUBLE) * s), "

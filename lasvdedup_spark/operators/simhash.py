@@ -26,8 +26,6 @@ band, so a 4-way band equi-join finds ALL such pairs — never an n^2 scan.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,8 +48,21 @@ def _simhash_fold_udf():
     Long docs fold in 8k-token slices so the transient n x 60 bit matrix
     stays ~4 MB regardless of document length (Arrow batches bound the
     per-task footprint the same way the substring kernel does).
+
+    numpy/pandas import HERE, not at module top: the default zero-Python
+    SQL fold must stay importable on a driver without them installed
+    (they are only an executor-side need, and only for impl='arrow').
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    # pandas_udf resolves the string annotations below ('pd.Series', a
+    # string under `from __future__ import annotations`) against the
+    # function's module globals — publish the lazy imports there or the
+    # signature inspection raises UNSUPPORTED_SIGNATURE.
+    globals().setdefault("np", np)
+    globals().setdefault("pd", pd)
 
     @pandas_udf("long")
     def fold(th: pd.Series) -> pd.Series:

@@ -54,7 +54,11 @@ def build_pyfiles_zip(out_path: str, package_root: str | None = None) -> str:
     with zipfile.ZipFile(out_path, "w") as z:
         for arcname, full in sorted(entries):
             info = zipfile.ZipInfo(arcname.replace(os.sep, "/"), _EPOCH)
-            info.compress_type = zipfile.ZIP_DEFLATED
+            # STORED, not DEFLATED: deflate output is only stable per zlib
+            # build — a toolchain change would shift every byte and miss
+            # archive-checksum caches. The package is ~100 KB; compression
+            # buys nothing worth the determinism caveat.
+            info.compress_type = zipfile.ZIP_STORED
             info.external_attr = 0o644 << 16
             with open(full, "rb") as f:
                 z.writestr(info, f.read())

@@ -247,3 +247,41 @@ def test_hyperplane_bucket_codegen_compiles_at_real_dim(spark):
             )
             want.append(t * (1 << len(planes)) + b)
         assert sorted(got[vid]) == sorted(want), vid
+
+
+def test_hyperplane_empty_planes_is_single_bucket(spark):
+    """Zero planes = one bucket (bucket 0) — the SQL-string assembly must
+    not emit malformed 'CAST( AS BIGINT)' for the degenerate input."""
+    from lasvdedup_spark.operators.ann import hyperplane_bucket_expr
+
+    vecs = spark.createDataFrame(
+        [(1, [0.5, -0.5]), (2, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    out = vecs.select(hyperplane_bucket_expr([]).alias("b")).collect()
+    assert [r["b"] for r in out] == [0, 0]
+
+
+def test_hyperplane_real_valued_weights_full_precision(spark):
+    """Plane weights embed at full double precision (repr), not '%.1f':
+    a 0.25 weight must flip the sign decision it implies, matching numpy."""
+    import numpy as np
+
+    from lasvdedup_spark.operators.ann import hyperplane_bucket_expr
+
+    planes = [[0.25, -0.3], [1.0, -1.0]]
+    rows = [(1, [1.0, 1.0]), (2, [1.0, 0.5]), (3, [-2.0, 1.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in vecs.select(
+            "vec_id", hyperplane_bucket_expr(planes).alias("b")
+        ).collect()
+    }
+    for vid, emb in rows:
+        v = np.array(emb)
+        want = sum(
+            (1 << p)
+            for p, row in enumerate(planes)
+            if float(np.array(row) @ v) > 0
+        )
+        assert got[vid] == want, vid
