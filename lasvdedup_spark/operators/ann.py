@@ -163,17 +163,13 @@ def ann_buckets_multi(
 
 
 def ann_capped_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
-    """Optional bucket-size cap (same deterministic keep-lowest-ids rule as
-    minhash.capped_buckets); callers log the dropped count — never a silent
-    truncation (pipeline metrics pattern)."""
-    if max_bucket_size is None:
-        return buckets
-    w = Window.partitionBy("bucket").orderBy("id")
-    return (
-        buckets.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= max_bucket_size)
-        .drop("_rn")
-    )
+    """Optional bucket-size cap (same deterministic hash-rank rule as
+    minhash.capped_buckets — keep the cap lowest-(xxhash64(id, bucket), id)
+    rows, selected with no single-task mega-bucket sort); callers log the
+    dropped count — never a silent truncation (pipeline metrics pattern)."""
+    from lasvdedup_spark.operators.pairs import capped_by_key
+
+    return capped_by_key(buckets, "bucket", max_bucket_size)
 
 
 def cosine_dup_pairs(

@@ -71,19 +71,14 @@ def band_buckets(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def capped_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Optionally cap bucket size (skew control). Deterministic: keep the
-    max_bucket_size lowest ids per bucket. Dropped rows are *counted* into
-    the returned DataFrame's companion metric (see pipeline.py) — never
-    silently truncated."""
-    if cfg.max_bucket_size is None:
-        return buckets
-    from pyspark.sql import Window
+    max_bucket_size lowest-(xxhash64(id, bucket), id) rows per bucket — a
+    uniform sample, selected WITHOUT a single-task sort of the mega-bucket
+    (see pairs.capped_by_key for the distributed threshold selection).
+    Dropped rows are *counted* into the returned DataFrame's companion
+    metric (see pipeline.py) — never silently truncated."""
+    from lasvdedup_spark.operators.pairs import capped_by_key
 
-    w = Window.partitionBy("bucket").orderBy("id")
-    return (
-        buckets.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= cfg.max_bucket_size)
-        .drop("_rn")
-    )
+    return capped_by_key(buckets, "bucket", cfg.max_bucket_size)
 
 
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -169,6 +164,55 @@ def containment_pairs(
             F.round("containment_a", 6).alias("containment_a"),
             F.round("containment_b", 6).alias("containment_b"),
         )
+    )
+
+
+def shingle_sets(
+    pages: DataFrame, cfg: DedupConfig, id_col: str = "url"
+) -> DataFrame:
+    """(id, sh) — each doc's DISTINCT shingle set, for exact set-overlap
+    verification (containment / exact Jaccard). Family-matched to
+    signatures(): the md5 family keeps string shingles (byte-portable to
+    the DuckDB oracle), the production xxhash64 family uses the string-free
+    28-bit arithmetic shingle hashes (array_distinct of
+    fast_shingle_hashes_expr) — int arrays, no per-shingle string garbage;
+    a 28-bit within-doc collision perturbs a containment estimate by
+    ~1/|set|, noise at the 0.8-threshold scale."""
+    base = pages.select(F.col(id_col).alias("id"), "text").withColumn(
+        "tokens", tokens_expr("text")
+    )
+    if cfg.hash_family == "xxhash64":
+        from lasvdedup_spark.functions.hashing import fast_shingle_hashes_expr
+
+        return base.select(
+            "id", F.array_distinct(fast_shingle_hashes_expr(cfg)).alias("sh")
+        )
+    return base.select("id", shingles_expr(cfg.shingle_k).alias("sh"))
+
+
+def containment_dup_pairs(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    sigs: DataFrame | None = None,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end containment tier: pages -> subset-duplicate edges
+    (id_a, id_b, containment_a, containment_b). LSH banding generates the
+    candidates (same signatures/bands the minhash tier uses — pass them in
+    when a pipeline already checkpointed them), then the asymmetric
+    containment verify keeps pairs where EITHER direction >=
+    cfg.containment_threshold. Catches a doc quoted wholesale inside a
+    longer one, which symmetric Jaccard scores at only |A|/|B| (reference
+    cascade-analog: the staged-filter ordering of
+    /root/reference/lasvdedup/utils/sequence_grouping.py:209-254)."""
+    if sigs is None:
+        sigs = signatures(pages, cfg, id_col)
+    if bands is None:
+        bands = capped_buckets(band_buckets(sigs, cfg), cfg)
+    cand = candidate_pairs(bands, cfg)
+    return containment_pairs(
+        cand, shingle_sets(pages, cfg, id_col), cfg.containment_threshold
     )
 
 

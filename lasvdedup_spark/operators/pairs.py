@@ -112,3 +112,137 @@ def salted_pair_join(
         .groupBy(*group_cols)
         .agg(F.count("*").alias(count_alias))
     )
+
+
+def salted_cross_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    salt_buckets: int,
+    skew_cutoff: int,
+    count_alias: str = "n_keys",
+    id_col: str = "id",
+    out_left: str = "id_l",
+    out_right: str = "id_r",
+) -> DataFrame:
+    """Bipartite analog of salted_pair_join: every (left-id, right-id)
+    collision on ``key_col``, with <count_alias> = number of distinct keys
+    the pair collided on. Pass the UNBOUNDED side as ``right`` — the skew
+    census runs there (the streaming use: ``left`` = one micro-batch,
+    bounded by trigger size; ``right`` = the accumulated band index, which
+    grows without bound, so a boilerplate key's hot spot lives on that
+    side).
+
+    Skew: keys whose RIGHT membership exceeds ``skew_cutoff`` take the
+    salted path — each right row keeps one salt s(id) = pmod(xxhash64(id),
+    S) and the (bounded) left side replicates to every salt, so the hot
+    key's pair space spreads over S tasks while each (l, r) pair is still
+    produced exactly once. Same dedup discipline as salted_pair_join:
+    groupBy on the pair (map-side combinable), never distinct() on the
+    exploded rows. Both inputs are referenced by multiple subtrees
+    (census / anti / semi), hence the lazy localCheckpoints — still no job
+    at plan-composition time."""
+    lid, rid = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+
+    def _out(a: str = "a", b: str = "b") -> list:
+        return [
+            F.col(f"{a}.{id_col}").alias(out_left),
+            F.col(f"{b}.{id_col}").alias(out_right),
+        ]
+
+    if salt_buckets <= 1:
+        joined = left.alias("a").join(right.alias("b"), key_col)
+        return joined.select(*_out()).groupBy(out_left, out_right).agg(
+            F.count("*").alias(count_alias)
+        )
+
+    left = left.localCheckpoint(eager=False)
+    right = right.localCheckpoint(eager=False)
+    sizes = right.groupBy(key_col).agg(F.count("*").alias("_ksz"))
+    big = sizes.where(F.col("_ksz") > skew_cutoff).select(key_col)
+
+    r_small = right.join(F.broadcast(big), key_col, "left_anti")
+    plain = left.alias("a").join(r_small.alias("b"), key_col).select(*_out())
+
+    s = salt_buckets
+    l_big = left.join(F.broadcast(big), key_col, "left_semi").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    )
+    r_big = right.join(F.broadcast(big), key_col, "left_semi").withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))
+    )
+    salted = l_big.alias("a").join(r_big.alias("b"), [key_col, "_salt"]).select(*_out())
+
+    return (
+        plain.unionByName(salted)
+        .groupBy(out_left, out_right)
+        .agg(F.count("*").alias(count_alias))
+    )
+
+
+def capped_by_key(
+    keyed: DataFrame,
+    key_col: str,
+    cap: int | None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Cap every key group to at most ``cap`` rows — deterministically and
+    with NO single-partition sort. None = passthrough (exact).
+
+    Keep rule: the ``cap`` rows with the smallest (xxhash64(id, key), id)
+    per over-cap key. This replaces the earlier keep-lowest-ids
+    row_number() window, which (a) sorted the entire mega-bucket — the very
+    key the cap exists to mitigate — in ONE task, and (b) kept a
+    lexicographic id prefix, i.e. a biased sample (ids are URLs: the lowest
+    cap of a 100k-member boilerplate bucket are one domain). Hash-rank
+    keeps a uniform deterministic sample and never materializes a
+    total order:
+
+      1. broadcast census of over-cap keys (map-side-combinable count);
+      2. under-cap keys pass through untouched (left_anti probe);
+      3. over-cap keys find their cap-th smallest (hash, id) via a
+         two-level top-cap aggregation — each (key, salt) partial sorts
+         ~m/S rows and keeps <= cap, the per-key merge sorts <= S*cap —
+         and rows are kept by a broadcast threshold probe
+         (struct(hash, id) <= threshold). Exactly ``cap`` rows survive per
+         over-cap key ((hash, id) is unique per key since (id, key) rows
+         are), so callers' dropped-row accounting is unchanged.
+
+    Deterministic by construction: the kept set is a pure function of the
+    (id, key) values — partitioning, task order, and salt fan-out never
+    show through (every intermediate is array_sort-ed before slicing).
+    """
+    if cap is None:
+        return keyed
+    # salt fan-out for the threshold computation only; bounds the per-task
+    # sort of a mega-bucket at m/S rows without changing the result
+    thin_salts = 64
+    h = F.xxhash64(F.col(id_col), F.col(key_col))
+    keyed = keyed.localCheckpoint(eager=False)
+
+    sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_ksz"))
+    big = sizes.where(F.col("_ksz") > cap).select(key_col)
+    small = keyed.join(F.broadcast(big), key_col, "left_anti")
+
+    big_rows = (
+        keyed.join(F.broadcast(big), key_col, "left_semi")
+        .withColumn("_h", h)
+        .withColumn("_salt", F.pmod(F.col("_h"), F.lit(thin_salts)))
+    )
+    # explicit field names: struct <= struct comparison requires the two
+    # struct types (incl. field names) to match exactly
+    rank = F.struct(F.col("_h").alias("h"), F.col(id_col).alias("i"))
+    partials = big_rows.groupBy(key_col, "_salt").agg(
+        F.slice(F.array_sort(F.collect_list(rank)), 1, cap).alias("_top")
+    )
+    thresholds = partials.groupBy(key_col).agg(
+        F.element_at(
+            F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, cap), -1
+        ).alias("_thr")
+    )
+    kept_big = (
+        big_rows.join(F.broadcast(thresholds), key_col)
+        .where(rank <= F.col("_thr"))
+        .drop("_h", "_salt", "_thr")
+    )
+    return small.unionByName(kept_big.select(*small.columns))

@@ -91,6 +91,110 @@ def _verify(pairs: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def batch_pairs(
+    batch_bands: DataFrame, old_idx: DataFrame | None, cfg: DedupConfig
+) -> DataFrame:
+    """Verified duplicate pairs for one micro-batch: new-vs-new within the
+    batch plus new-vs-index, BOTH through the salted skew machinery the
+    batch tiers use (operators/pairs.py) — a boilerplate band bucket in the
+    accumulated index must not put m_old x m_new pair enumerations in one
+    task, and the within-batch self-join is literally salted_pair_join's
+    shape. Candidates-then-verify discipline throughout: only narrow
+    (id, bucket) rows ride the salted joins; the wide signature arrays join
+    back onto the deduped candidate set (jaccard is symmetric, so the
+    cross pairs need no sig_a/sig_b orientation swap).
+
+    Pure plan composition — no job runs here (salted joins are lazy by
+    construction), so the within-batch plan is unit-testable outside
+    foreachBatch. -> (id_a, id_b, jaccard), distinct."""
+    from lasvdedup_spark.operators.pairs import salted_cross_join, salted_pair_join
+
+    sigs_new = batch_bands.select("id", "sig").dropDuplicates(["id"])
+    sa = sigs_new.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs_new.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+
+    within = (
+        salted_pair_join(
+            batch_bands.select("id", "bucket"),
+            "bucket",
+            cfg.salt_buckets,
+            cfg.skew_bucket_cutoff,
+        )
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "sig_a", "sig_b")
+    )
+    pairs = within
+    if old_idx is not None:
+        # the index is the unbounded side -> it takes the census + per-row
+        # salt; the (trigger-bounded) batch replicates across salts
+        cross = salted_cross_join(
+            batch_bands.select("id", "bucket"),
+            old_idx.select("id", "bucket"),
+            "bucket",
+            cfg.salt_buckets,
+            cfg.skew_bucket_cutoff,
+            out_left="id_new",
+            out_right="id_old",
+        ).where(F.col("id_new") != F.col("id_old"))
+        # sig lookup for the old side: dedup only the PRUNED partitions the
+        # batch touched, then join onto the (small) candidate set
+        sigs_old = old_idx.select("id", "sig").dropDuplicates(["id"])
+        cross = (
+            cross.join(
+                sigs_new.select(
+                    F.col("id").alias("id_new"), F.col("sig").alias("sig_a")
+                ),
+                "id_new",
+            )
+            .join(
+                sigs_old.select(
+                    F.col("id").alias("id_old"), F.col("sig").alias("sig_b")
+                ),
+                "id_old",
+            )
+            .select(
+                F.least("id_new", "id_old").alias("id_a"),
+                F.greatest("id_new", "id_old").alias("id_b"),
+                "sig_a",
+                "sig_b",
+            )
+        )
+        pairs = pairs.unionByName(cross)
+    return _verify(pairs, cfg)
+
+
+def capped_index_append(
+    batch_bands: DataFrame, old_idx: DataFrame | None, cap: int | None
+) -> DataFrame:
+    """Rows of this batch allowed into the index under the bucket cap: a
+    new row is kept iff existing-members(bucket) + its rank within the
+    batch <= cap, ranked by the same deterministic (xxhash64(id, bucket),
+    id) order capped_by_key uses. Without the cap the accumulated index's
+    boilerplate buckets grow without bound and batch-N join latency
+    degrades exactly the way the batch path was engineered not to.
+
+    The rank window here IS a per-bucket sort, but over ONE micro-batch —
+    bounded by the stream trigger (maxFilesPerTrigger), not by corpus
+    size — so the mega-bucket-in-one-task hazard the batch path's
+    capped_by_key eliminates cannot arise. Callers count the dropped rows
+    (never a silent truncation). cap=None = passthrough."""
+    if cap is None:
+        return batch_bands
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(
+        F.xxhash64(F.col("id"), F.col("bucket")), F.col("id")
+    )
+    ranked = batch_bands.withColumn("_rn", F.row_number().over(w))
+    if old_idx is not None:
+        old_counts = old_idx.groupBy("bucket").agg(F.count("*").alias("_old"))
+        ranked = ranked.join(old_counts, "bucket", "left").fillna(0, subset=["_old"])
+    else:
+        ranked = ranked.withColumn("_old", F.lit(0))
+    return ranked.where(F.col("_rn") + F.col("_old") <= cap).drop("_rn", "_old")
+
+
 def incremental_dedup_query(
     spark: SparkSession,
     input_dir: str,
@@ -124,44 +228,16 @@ def incremental_dedup_query(
         s = batch_bands.sparkSession
         batch_bands = _with_part(batch_bands).localCheckpoint(eager=True)
 
-        new = batch_bands.select(
-            F.col("id").alias("id_new"), F.col("sig").alias("sig_new"), "bucket"
-        )
-        # 1) new-vs-new within the batch (i<j dedup as usual)
-        a = new.select(F.col("id_new").alias("id_a"), F.col("sig_new").alias("sig_a"), "bucket")
-        b = new.select(F.col("id_new").alias("id_b"), F.col("sig_new").alias("sig_b"), "bucket")
-        within = (
-            a.join(b, "bucket")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b")
-        )
-        # 2) new-vs-index: read ONLY the index partitions whose band parts
-        # occur in this batch (<= N_INDEX_PARTS values; the batch is already
+        # read ONLY the index partitions whose band parts occur in this
+        # batch (<= N_INDEX_PARTS values; the batch is already
         # checkpointed, so this census is a cheap cached scan)
         parts = [
             r["part"] for r in batch_bands.select("part").distinct().collect()
         ]
-        pairs = within
         old_idx = read_index_pruned(s, index_dir, parts)
-        if old_idx is not None:
-            old = old_idx.select(
-                F.col("id").alias("id_old"), F.col("sig").alias("sig_old"), "bucket"
-            )
-            cross = (
-                new.join(old, "bucket")
-                .where(F.col("id_new") != F.col("id_old"))
-                .select(
-                    F.least("id_new", "id_old").alias("id_a"),
-                    F.greatest("id_new", "id_old").alias("id_b"),
-                    F.when(F.col("id_new") < F.col("id_old"), F.col("sig_new"))
-                    .otherwise(F.col("sig_old")).alias("sig_a"),
-                    F.when(F.col("id_new") < F.col("id_old"), F.col("sig_old"))
-                    .otherwise(F.col("sig_new")).alias("sig_b"),
-                )
-            )
-            pairs = pairs.unionByName(cross)
-
-        verified = _verify(pairs, cfg)
+        # within-batch + new-vs-index pairs, both through the salted skew
+        # machinery (operators/pairs.py) — see batch_pairs
+        verified = batch_pairs(batch_bands, old_idx, cfg)
         # idempotent per-epoch outputs: overwrite the batch's own subdir, so
         # an epoch replay after a crash never duplicates rows
         verified.write.mode("overwrite").parquet(
@@ -178,7 +254,24 @@ def incremental_dedup_query(
         # Spark-side (the columns of the index we just read), never a
         # driver-local listdir.
         legacy = old_idx is not None and "part" not in old_idx.columns
-        w = batch_bands.drop("part") if legacy else batch_bands
+        to_append = batch_bands
+        if cfg.max_bucket_size is not None:
+            # bucket cap on index appends: a boilerplate bucket saturates at
+            # max_bucket_size members and stops growing, so the per-batch
+            # join cost against it stays bounded across the stream's life.
+            # Dropped rows are counted into metrics/ — never silent.
+            to_append = capped_index_append(
+                batch_bands, old_idx, cfg.max_bucket_size
+            ).localCheckpoint(eager=True)
+            n_in = batch_bands.count()
+            n_kept = to_append.count()
+            s.createDataFrame(
+                [("index_append", n_in, n_kept, n_in - n_kept)],
+                "stage string, rows_in long, rows_kept long, rows_dropped long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(work_dir, "metrics", f"batch_id={batch_id}")
+            )
+        w = to_append.drop("part") if legacy else to_append
         w = w.write.mode("overwrite")
         if not legacy:
             w = w.partitionBy("part")

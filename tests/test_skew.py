@@ -179,3 +179,58 @@ def test_span_lengths_fanout_follows_config(spark):
     a = {(r["id_a"], r["id_b"], r["span_len"]) for r in wide.collect()}
     b = {(r["id_a"], r["id_b"], r["span_len"]) for r in dflt.collect()}
     assert a == b and len(a) == 19
+
+
+def test_capped_by_key_exact_deterministic_no_window(spark):
+    """The bucket cap must (a) keep exactly cap rows per over-cap key,
+    (b) pass under-cap keys through untouched, (c) be deterministic across
+    partitionings, (d) contain NO window in the plan — the old row_number()
+    form sorted the entire mega-bucket (the very key being mitigated) in
+    one task — and (e) keep a hash-uniform sample, not a lexicographic id
+    prefix (ids are URLs: a prefix is one domain)."""
+    from lasvdedup_spark.operators.pairs import capped_by_key
+
+    rows = [(f"u/{i:04d}", 1) for i in range(200)] + [(f"v/{i}", 2) for i in range(3)]
+    df = spark.createDataFrame(rows, "id string, bucket long")
+    capped = capped_by_key(df, "bucket", 10)
+    got = sorted((r["id"], r["bucket"]) for r in capped.collect())
+    sizes = {}
+    for _id, b in got:
+        sizes[b] = sizes.get(b, 0) + 1
+    assert sizes == {1: 10, 2: 3}
+    again = sorted(
+        (r["id"], r["bucket"])
+        for r in capped_by_key(df.repartition(7), "bucket", 10).collect()
+    )
+    assert got == again
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    kept_big = [i for i, b in got if b == 1]
+    assert kept_big != [f"u/{i:04d}" for i in range(10)]
+    # None = exact passthrough
+    assert capped_by_key(df, "bucket", None) is df
+
+
+def test_salted_cross_join_equals_plain_bipartite(spark):
+    """Bipartite salted join: identical pair set as the plain equi-join,
+    with the hot RIGHT key (the accumulated-index side in streaming) spread
+    across salts; plan shows the salted union."""
+    from lasvdedup_spark.operators.pairs import salted_cross_join
+
+    left = spark.createDataFrame(
+        [(f"n{i}", 1) for i in range(5)] + [("n9", 3)], "id string, bucket long"
+    )
+    right = spark.createDataFrame(
+        [(f"o{i}", 1) for i in range(50)] + [("o9", 3), ("oz", 4)],
+        "id string, bucket long",
+    )
+    plain = {
+        (r["id_l"], r["id_r"])
+        for r in salted_cross_join(left, right, "bucket", 1, 10).collect()
+    }
+    salted_df = salted_cross_join(left, right, "bucket", 8, 10)
+    salted = {(r["id_l"], r["id_r"]) for r in salted_df.collect()}
+    assert plain == salted
+    assert len(plain) == 5 * 50 + 1
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan and "Union" in plan

