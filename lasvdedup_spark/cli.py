@@ -42,7 +42,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint root (resume support)")
     p.add_argument(
         "--tiers", default="minhash",
-        help="comma list from {exact,minhash,simhash,substring,embedding}",
+        help="comma list from {exact,minhash,simhash,substring,embedding,"
+             "containment}",
     )
     p.add_argument(
         "--embeddings", default=None,
@@ -51,6 +52,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
              "merge into the shared component/cascade stages",
     )
     p.add_argument("--jaccard-threshold", type=float, default=None)
+    p.add_argument(
+        "--containment-threshold", type=float, default=None,
+        help="containment tier: keep pairs with max(c_a, c_b) >= T",
+    )
     p.add_argument("--target-length", type=int, default=None)
     p.add_argument(
         "--quality-cols", default="",
@@ -91,6 +96,8 @@ def build_config(args: argparse.Namespace) -> DedupConfig:
         overrides["checkpoint_dir"] = args.checkpoint_dir
     if args.jaccard_threshold is not None:
         overrides["jaccard_threshold"] = args.jaccard_threshold
+    if args.containment_threshold is not None:
+        overrides["containment_threshold"] = args.containment_threshold
     if args.target_length is not None:
         overrides["target_length"] = args.target_length
     if args.shuffle_partitions is not None:

@@ -135,6 +135,7 @@ class DedupConfig:
     strong_threshold: float = 0.8      # "all pairs this similar" => BelowThreshold case
     simhash_hamming: int = 3           # near-identical tier (60-bit simhash)
     substring_min_tokens: int = 16     # long-shared-span tier (token L-gram)
+    containment_threshold: float = 0.8  # containment tier: max(c_a, c_b) >=
 
     # --- embedding tier (cosine near-dup over an embeddings DataFrame) ---
     embedding_threshold: float = 0.9   # duplicate edge: cosine >= (inclusive)

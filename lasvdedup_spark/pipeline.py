@@ -190,7 +190,14 @@ def validate_pages_schema(
         )
 
 
-KNOWN_TIERS = ("exact", "minhash", "simhash", "substring", "embedding")
+KNOWN_TIERS = (
+    "exact",
+    "minhash",
+    "simhash",
+    "substring",
+    "embedding",
+    "containment",
+)
 
 
 def validate_tiers(tiers: tuple[str, ...]) -> None:
@@ -255,8 +262,12 @@ def stage_plan(
     names = ["narrow"]
     if "exact" in tiers:
         names.append("edges_exact")
+    if "minhash" in tiers or "containment" in tiers:
+        names += ["signatures", "bands"]
     if "minhash" in tiers:
-        names += ["signatures", "bands", "pairs"]
+        names.append("pairs")
+    if "containment" in tiers:
+        names.append("edges_containment")
     if "simhash" in tiers:
         names.append("edges_simhash")
     if "substring" in tiers:
@@ -339,11 +350,15 @@ def dedup(
     ``determine_duplicates(config=...)`` entry point
     (/root/reference/lasvdedup/utils/determine_duplicates.py:52-153).
 
-    tiers ⊆ {"exact", "minhash", "simhash", "substring", "embedding"}
-    select which edge generators feed the shared connected-components +
-    classification stages.
+    tiers ⊆ {"exact", "minhash", "simhash", "substring", "embedding",
+    "containment"} select which edge generators feed the shared
+    connected-components + classification stages.
     "exact" edges are implied by "minhash" (identical text ⇒ identical
     signature ⇒ jaccard 1.0), so the default single tier is complete.
+    "containment" finds subset duplication (a doc quoted wholesale inside
+    a longer one) that symmetric Jaccard misses — same LSH candidates as
+    minhash (the signatures/bands stages are shared when both are on),
+    asymmetric verify at cfg.containment_threshold.
 
     The "embedding" tier takes a separate ``embeddings`` DataFrame
     (embedding_id_col, embedding_vec_col: array<float|double>) whose ids
@@ -417,8 +432,11 @@ def dedup(
             ).withColumn("jaccard", F.lit(1.0)),
         )
         edge_frames.append(_edge_cols(e, transitive=True))
-    if "minhash" in tiers:
-        # the north rule's checkpoint stages: signatures -> bands -> pairs
+    if "minhash" in tiers or "containment" in tiers:
+        # the north rule's checkpoint stages: signatures -> bands -> pairs;
+        # the containment tier shares the signatures/bands stages (same LSH
+        # candidates, different verify), so enabling both costs one extra
+        # verify join, not a second banding pass
         sigs = r.stage(
             "signatures",
             lambda: minhash.signatures(narrow, cfg),
@@ -453,10 +471,26 @@ def dedup(
                         "rows": sig_rows * cfg.lsh_bands - capped_rows,
                     }
                 )
+    if "minhash" in tiers:
         e = r.stage(
             "pairs",
             lambda: minhash.verified_pairs(
                 minhash.candidate_pairs(bands, cfg), sigs, cfg_verify
+            ),
+        )
+        edge_frames.append(_edge_cols(e, transitive=False))
+    if "containment" in tiers:
+        # subset-dup edges: same LSH candidates, asymmetric verify; the
+        # edge similarity is max(c_a, c_b) — like the embedding tier's
+        # cosine, it rides the shared 'jaccard' edge column
+        e = r.stage(
+            "edges_containment",
+            lambda: minhash.containment_dup_pairs(
+                narrow, cfg, sigs=sigs, bands=bands
+            ).select(
+                "id_a",
+                "id_b",
+                F.greatest("containment_a", "containment_b").alias("jaccard"),
             ),
         )
         edge_frames.append(_edge_cols(e, transitive=False))

@@ -215,3 +215,50 @@ def test_all_five_tiers_compose_in_one_dedup_call(spark, tmp_path):
     assert {(r["url"], r["component"]) for r in ck} == {
         (r["url"], r["component"]) for r in out
     }
+
+
+def test_containment_tier_composes_through_dedup(spark, tmp_path):
+    """tiers=("minhash","containment") (VERDICT r4 #2): a planted
+    subset-dup — short doc A quoted wholesale inside long doc B, Jaccard
+    |A|/|B| ~ 0.3 < threshold but containment_a = 1.0 — must cluster under
+    the containment tier and must NOT under minhash alone; stage_plan
+    lists the shared signatures/bands plus edges_containment."""
+    from lasvdedup_spark.pipeline import dedup, stage_plan
+
+    quoted = " ".join(f"quote{i}" for i in range(24))
+    rows = [
+        ("u/short", quoted),
+        ("u/long", quoted + " " + " ".join(f"fill{i}" for i in range(60))),
+        ("u/other", "an unrelated page about entirely different subjects"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    cfg = DedupConfig()
+
+    only_minhash = dedup(spark, pages, cfg, tiers=("minhash",)).collect()
+    cm = {r["url"]: r["component"] for r in only_minhash}
+    assert cm["u/short"] != cm["u/long"]  # symmetric Jaccard misses it
+
+    both = dedup(spark, pages, cfg, tiers=("minhash", "containment")).collect()
+    cb = {r["url"]: r["component"] for r in both}
+    assert cb["u/short"] == cb["u/long"]
+    assert cb["u/other"] != cb["u/short"]
+
+    plan = stage_plan(cfg, tiers=("minhash", "containment"))
+    names = [s["stage"] for s in plan]
+    assert "edges_containment" in names
+    assert names.count("signatures") == 1 and names.count("bands") == 1
+
+    # checkpointed run agrees (stage addressed like every other tier)
+    cfg_ck = cfg.with_overrides(checkpoint_dir=str(tmp_path))
+    ck = dedup(
+        spark, pages, cfg_ck, tiers=("minhash", "containment")
+    ).collect()
+    assert {(r["url"], r["component"]) for r in ck} == {
+        (r["url"], r["component"]) for r in both
+    }
+    import os
+
+    from lasvdedup_spark.pipeline import checkpoint_root
+
+    root = checkpoint_root(cfg_ck, ("minhash", "containment"))
+    assert os.path.exists(os.path.join(root, "edges_containment", "_SUCCESS"))
