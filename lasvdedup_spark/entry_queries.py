@@ -1126,6 +1126,82 @@ qualify pos <= 3
 """
 
 
+def q_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k with ONE deterministic Lloyd training round — the
+    production ANN path (operators/ann.ivf_lloyd_centroids). The
+    bit-determinism claim (fixed-point int64 mean: values scaled by 2^30,
+    summed as longs — integer addition is associative, so shuffle layout
+    can't change the result) is what makes this oracle-checkable at all:
+    DuckDB replicates the identical integer arithmetic, so the trained
+    centroids — and every downstream assignment, probe, and score — match
+    byte-for-byte."""
+    from lasvdedup_spark.operators.ann import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), _IVF_K, k=3, n_probe=_IVF_PROBE, lloyd_iters=1
+    )
+
+
+def O_IVF_LLOYD_TOPK() -> str:
+    # 2^30 fixed-point scale — must mirror ann.ivf_lloyd_centroids exactly
+    s = float(1 << 30)
+    return f"""
+with c0 as (
+  select vec_id as cid, embedding as cvec from embeddings
+  order by vec_id limit {_IVF_K}),
+a0 as (
+  select e.vec_id as id, c0.cid, e.embedding as vec,
+         ({_dk_dot('e.embedding', 'cvec')}) /
+         (sqrt({_dk_dot('e.embedding', 'e.embedding')}) * sqrt({_dk_dot('cvec', 'cvec')})) as score
+  from embeddings e cross join c0
+  qualify row_number() over (partition by e.vec_id order by score desc, cid asc) = 1),
+expl as (
+  select cid, unnest(vec) as val,
+         unnest(range(1, len(vec) + 1)) as pos
+  from a0),
+means as (
+  select cid, pos,
+         cast(sum(cast(round(val::DOUBLE * {s}) as bigint)) as double)
+           / count(*) / {s} as m
+  from expl group by cid, pos),
+c1 as (
+  -- emptied centroid keeps its seed position (Spark: coalesce(new, old));
+  -- list() over an unmatched left join yields [NULL], so branch on count
+  select c0.cid,
+         case when count(means.m) = 0
+              then list_transform(c0.cvec, x -> x::DOUBLE)
+              else list(means.m order by means.pos) end as cvec
+  from c0 left join means on means.cid = c0.cid
+  group by c0.cid, c0.cvec),
+a as (
+  select e.vec_id as id, c1.cid,
+         ({_dk_dot('e.embedding', 'cvec')}) /
+         (sqrt({_dk_dot('e.embedding', 'e.embedding')}) * sqrt({_dk_dot('cvec', 'cvec')})) as score
+  from embeddings e cross join c1),
+idx as (
+  select id as tid, cid from a
+  qualify row_number() over (partition by id order by score desc, cid asc) = 1),
+probes as (
+  select id as qid, cid from a
+  qualify row_number() over (partition by id order by score desc, cid asc) <= {_IVF_PROBE}),
+cand as (
+  select p.qid, i.tid from probes p join idx i using (cid)
+  where p.qid != i.tid),
+scored as (
+  select cand.qid, cand.tid,
+         ({_dk_dot('q.embedding', 't.embedding')}) /
+         (sqrt({_dk_dot('q.embedding', 'q.embedding')}) * sqrt({_dk_dot('t.embedding', 't.embedding')})) as score
+  from cand
+  join embeddings q on q.vec_id = cand.qid
+  join embeddings t on t.vec_id = cand.tid)
+select qid, tid,
+       row_number() over (partition by qid order by score desc, tid asc) as pos,
+       round(score, 6) as score
+from scored
+qualify pos <= 3
+"""
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (multi-table banded candidates,
     salted bucket join, cosine >= t); the vector analog of
@@ -1503,6 +1579,7 @@ QUERIES = {
     "ann_buckets": q_ann_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_lloyd_topk": q_ivf_lloyd_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ngram_jaccard_verified": q_ngram_jaccard_verified,
     "ngram_containment_pairs": q_ngram_containment_pairs,
@@ -1543,6 +1620,7 @@ ORACLES = {
     "ann_buckets": O_ANN_BUCKETS(),
     "ann_lsh_topk": O_ANN_LSH_TOPK(),
     "ivf_topk": O_IVF_TOPK(),
+    "ivf_lloyd_topk": O_IVF_LLOYD_TOPK(),
     "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS(),
     "ngram_jaccard_verified": O_NGRAM_JACCARD_VERIFIED,
     "ngram_containment_pairs": O_NGRAM_CONTAINMENT_PAIRS,

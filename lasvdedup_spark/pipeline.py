@@ -52,6 +52,7 @@ class StageRunner:
         cfg: DedupConfig,
         force: bool = False,
         extra_key: str = "",
+        collect_metrics: bool = False,
     ):
         """force=True recomputes every stage even when a finished checkpoint
         exists — the reference's ``--force`` rerun semantics
@@ -64,6 +65,7 @@ class StageRunner:
         self.spark = spark
         self.cfg = cfg
         self.force = force
+        self.collect_metrics = collect_metrics
         self.root = (
             os.path.join(
                 cfg.checkpoint_dir,
@@ -123,12 +125,30 @@ class StageRunner:
             df = fn()
             if heavy:
                 df = df.localCheckpoint(eager=eager)
-            self.metrics.append({"stage": name, "skipped": False, "seconds": 0.0, "rows": -1})
+            # Pass-through metrics (north rule: the metrics story must not
+            # require a checkpoint_dir). Eagerly-materialized stages DO run
+            # a job here, so their wall time is real; when the caller asked
+            # for metrics (collect_metrics), their row count comes from one
+            # cheap count over the fresh cache. Purely lazy stages have no
+            # job to time — they are flagged lazy with composition-time
+            # seconds, never fake numbers.
+            rows = -1
+            if heavy and eager and self.collect_metrics:
+                rows = df.count()
+            self.metrics.append(
+                {
+                    "stage": name,
+                    "skipped": False,
+                    "seconds": time.time() - t0,
+                    "rows": rows,
+                    "lazy": not (heavy and eager),
+                }
+            )
             return df
         if self._done(name):
             df = self.spark.read.parquet(self._path(name))
             self.metrics.append(
-                {"stage": name, "skipped": True, "seconds": time.time() - t0, "rows": -1}
+                {"stage": name, "skipped": True, "seconds": time.time() - t0, "rows": -1, "lazy": False}
             )
             return df
         df = fn()
@@ -136,7 +156,7 @@ class StageRunner:
         out = self.spark.read.parquet(self._path(name))
         rows = out.count()
         self.metrics.append(
-            {"stage": name, "skipped": False, "seconds": time.time() - t0, "rows": rows}
+            {"stage": name, "skipped": False, "seconds": time.time() - t0, "rows": rows, "lazy": False}
         )
         self._write_partition_lineage(name, out)
         return out
@@ -344,6 +364,7 @@ def dedup(
     embeddings: DataFrame | None = None,
     embedding_id_col: str = "url",
     embedding_vec_col: str = "embedding",
+    metrics_sink: list | None = None,
 ) -> DataFrame:
     """Public API: pages -> classifications DataFrame (lazy unless
     checkpointing). The analog of the reference's importable
@@ -373,6 +394,13 @@ def dedup(
     reference's configurable SELECTION_COLUMNS (io_utils.py:48-55,
     config.yaml:27-30; e.g. fetch quality / mapped-read analogs).
 
+    metrics_sink: pass a list to receive the per-stage metrics dicts
+    (stage, seconds, rows, skipped, lazy) even WITHOUT a checkpoint_dir —
+    eagerly-materialized stages (signatures, edges) report real wall time
+    and row counts; purely lazy stages are flagged lazy=True rather than
+    given fake numbers. With a checkpoint_dir the same rows also land in
+    the _metrics parquet as before.
+
     cfg.lang_thresholds applies per-language duplicate thresholds
     (reference's segment-specific THRESHOLDS overrides,
     config_setup.py:154-184): an edge must clear the threshold of BOTH
@@ -391,16 +419,42 @@ def dedup(
     # fold them into the checkpoint address (shared with stage_plan) or a
     # resume with different arguments silently reuses stale stages
     r = StageRunner(
-        spark, cfg, force=force, extra_key=_call_key(tiers, quality_cols)
+        spark,
+        cfg,
+        force=force,
+        extra_key=_call_key(tiers, quality_cols),
+        collect_metrics=metrics_sink is not None,
     )
 
-    narrow = r.stage(
-        "narrow",
-        lambda: pages.select(
+    if r.root is not None and not cfg.checkpoint_narrow_text:
+        # Lean narrow checkpoint (cfg.checkpoint_narrow_text=False): persist
+        # only the metadata columns downstream stats / lang-refinement read.
+        # The text-consuming tiers project straight off the INPUT table —
+        # lazily, so column pruning still reaches the source scan — instead
+        # of a checkpoint that would be a near-full copy of a 100 TB corpus
+        # written before any real work. On resume, stages whose checkpoints
+        # exist never touch text anyway; unfinished ones recompute from the
+        # input (the resume contract already assumes it is unchanged).
+        meta = r.stage(
+            "narrow",
+            lambda: pages.select(
+                "url", F.length("text").alias("n_chars"),
+                *quality_cols, *lang_cols,
+            ),
+        )
+        narrow = pages.select(
             "url", "text", F.length("text").alias("n_chars"),
             *quality_cols, *lang_cols,
-        ),
-    )
+        )
+    else:
+        narrow = r.stage(
+            "narrow",
+            lambda: pages.select(
+                "url", "text", F.length("text").alias("n_chars"),
+                *quality_cols, *lang_cols,
+            ),
+        )
+        meta = narrow
 
     if cfg.lang_thresholds:
         # verify at the floor; the per-lang refinement filter runs on the
@@ -467,6 +521,7 @@ def dedup(
                     {
                         "stage": "bands_dropped_by_cap",
                         "skipped": False,
+                        "lazy": False,
                         "seconds": 0.0,
                         "rows": sig_rows * cfg.lsh_bands - capped_rows,
                     }
@@ -559,7 +614,7 @@ def dedup(
 
     if cfg.lang_thresholds:
         refined = refine_edges_by_lang(
-            merged, narrow, cfg,
+            merged, meta, cfg,
             extra_cols=("transitive",) if tag_transitive else (),
         )
     else:
@@ -588,13 +643,15 @@ def dedup(
         "components",
         # assume_distinct: every tier ends in a groupBy (or the merge is
         # one), so the defensive de-dup exchange inside CC is redundant here
+        # meta, not narrow: components only needs the id universe — reading
+        # it from the lean checkpoint avoids re-scanning input text
         lambda: components.assign_components(
-            narrow, edges, assume_distinct=True, input_cached=True
+            meta, edges, assume_distinct=True, input_cached=True
         ),
         heavy=True,
     )
 
-    stats = narrow.select(F.col("url").alias("id"), "n_chars", *quality_cols)
+    stats = meta.select(F.col("url").alias("id"), "n_chars", *quality_cols)
 
     def _classifications() -> DataFrame:
         df = C.classify(
@@ -610,4 +667,9 @@ def dedup(
 
     out = r.stage("classifications", _classifications)
     r.write_metrics()
+    if metrics_sink is not None:
+        # checkpoint-less metrics channel (the north rule's metrics story
+        # must not require a checkpoint_dir): real seconds/rows for every
+        # eagerly-materialized stage, lazy=True markers for the rest
+        metrics_sink.extend(r.metrics)
     return out

@@ -283,3 +283,20 @@ def test_cli_embedding_tier_end_to_end(spark, tmp_path, capsys):
     out = spark.read.parquet(outp)
     comp = {r["url"]: r["component"] for r in out.collect()}
     assert comp["u/a"] == comp["u/b"] != comp["u/c"]
+
+
+def test_iceberg_probe_matches_environment(spark):
+    """Session-build Iceberg probe (VERDICT r4 #7): in a jar-less sandbox
+    it returns None and the builder sets no catalog configs; where the
+    runtime exists it must have registered the 'local' catalog (and the
+    write test above then runs un-skipped)."""
+    from lasvdedup_spark.session import iceberg_runtime_jar
+
+    jar = iceberg_runtime_jar()
+    has_catalog = (
+        spark.conf.get("spark.sql.catalog.local", None) is not None
+    )
+    if jar is None:
+        assert not has_catalog
+    else:
+        assert has_catalog
