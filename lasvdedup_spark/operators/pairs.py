@@ -214,6 +214,11 @@ def capped_by_key(
     """
     if cap is None:
         return keyed
+    if cap < 1:
+        # cap=0 would make every key over-cap with an EMPTY threshold set
+        # (element_at on an empty slice raises under ANSI); it also means
+        # "drop everything", which no caller can want silently
+        raise ValueError(f"cap must be >= 1 or None, got {cap}")
     # salt fan-out for the threshold computation only; bounds the per-task
     # sort of a mega-bucket at m/S rows without changing the result
     thin_salts = 64
