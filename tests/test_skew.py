@@ -234,3 +234,38 @@ def test_salted_cross_join_equals_plain_bipartite(spark):
     assert len(plain) == 5 * 50 + 1
     plan = salted_df._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan and "Union" in plan
+
+
+def test_capped_by_key_matches_bruteforce_rule(spark):
+    """The distributed threshold selection must implement EXACTLY the
+    documented rule: keep the cap smallest (xxhash64(id, key), id) per
+    over-cap key. Brute-force the expected kept set from the same hashes
+    and compare, across several keys straddling the cap."""
+    import random
+
+    from lasvdedup_spark.operators.pairs import capped_by_key
+
+    rng = random.Random(7)
+    rows = []
+    for b in range(6):
+        for i in range(rng.randint(1, 40)):
+            rows.append((f"u/{b}/{i:03d}", b))
+    df = spark.createDataFrame(rows, "id string, bucket long")
+    cap = 12
+
+    hashed = df.select(
+        "id", "bucket", F.xxhash64("id", "bucket").alias("h")
+    ).collect()
+    by_key = {}
+    for r in hashed:
+        by_key.setdefault(r["bucket"], []).append((r["h"], r["id"]))
+    want = set()
+    for b, members in by_key.items():
+        keep = sorted(members)[:cap] if len(members) > cap else members
+        want |= {(i, b) for _, i in keep}
+
+    got = {
+        (r["id"], r["bucket"])
+        for r in capped_by_key(df, "bucket", cap).collect()
+    }
+    assert got == want
