@@ -59,9 +59,11 @@ CONCAT = int(os.environ.get("SPARK_GRAFT_CONCAT", "8"))
 
 
 MODE = os.environ.get("SCALING_MODE", "threads")  # threads | executors
-# cores per executor JVM in executors mode; 2 lets SCALING_CPUS=2,8 express
-# the north rule's literal "N vs 4N executors" (1 vs 4 worker JVMs) while
-# keeping both levels inside this box's DRAM-bandwidth grant (BENCH.md)
+# cores per executor JVM in executors mode (default 4 = a common real-world
+# executor shape). The recorded evidence runs set SCALING_EXEC_CORES=2 so
+# SCALING_CPUS=2,8 expresses the north rule's literal "N vs 4N executors"
+# (1 vs 4 worker JVMs) while keeping both levels inside this box's
+# DRAM-bandwidth grant (BENCH.md)
 EXEC_CORES = int(os.environ.get("SCALING_EXEC_CORES", "4"))
 EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "12288"))
 
