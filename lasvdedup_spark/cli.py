@@ -39,6 +39,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--input", required=True, help="pages parquet path (url, warc_ts, html, text, lang)")
     p.add_argument("--output", required=True, help="output dir for classifications parquet")
     p.add_argument("--config", default=None, help="YAML config (keys = DedupConfig fields)")
+
+    class _PrintDefaultConfig(argparse.Action):
+        # help-style action: print the packaged default config and exit
+        # before the required-args check, so `lasvdedup-spark
+        # --print-default-config > my.yaml` is the copy-then-edit workflow
+        # the reference's packaged config.yaml supports (utils/resources.py)
+        def __call__(self, parser, namespace, values, option_string=None):
+            from lasvdedup_spark.resources import get_default_config_text
+
+            print(get_default_config_text(), end="")
+            parser.exit()
+
+    p.add_argument(
+        "--print-default-config", nargs=0, action=_PrintDefaultConfig,
+        help="print the packaged default config YAML and exit",
+    )
     p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint root (resume support)")
     p.add_argument(
         "--tiers", default="minhash",

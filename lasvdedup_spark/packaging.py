@@ -30,8 +30,9 @@ _EPOCH = (1980, 1, 1, 0, 0, 0)
 
 
 def build_pyfiles_zip(out_path: str, package_root: str | None = None) -> str:
-    """Zip the ``lasvdedup_spark`` package (``.py`` sources only, package-
-    relative arcnames) into ``out_path``; returns ``out_path``.
+    """Zip the ``lasvdedup_spark`` package (``.py`` sources plus packaged
+    ``.yaml`` resources, package-relative arcnames) into ``out_path``;
+    returns ``out_path``.
 
     package_root: directory CONTAINING ``lasvdedup_spark/`` (defaults to
     this installation's parent, so the built archive matches the imported
@@ -47,7 +48,7 @@ def build_pyfiles_zip(out_path: str, package_root: str | None = None) -> str:
     for dirpath, dirnames, filenames in os.walk(pkg):
         dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
         for fn in sorted(filenames):
-            if fn.endswith(".py"):
+            if fn.endswith((".py", ".yaml")):
                 full = os.path.join(dirpath, fn)
                 entries.append((os.path.relpath(full, package_root), full))
 

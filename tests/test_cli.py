@@ -82,6 +82,17 @@ def test_lang_threshold_flag_parsing():
         build_config(bad)
 
 
+def test_print_default_config_flag(capsys):
+    """--print-default-config exits before the required-args check (like
+    --help) and emits YAML that round-trips to the dataclass defaults —
+    the reference's copy-then-edit packaged-config workflow."""
+    with pytest.raises(SystemExit) as ex:
+        parse_args(["--print-default-config"])
+    assert ex.value.code == 0
+    out = capsys.readouterr().out
+    assert "jaccard_threshold" in out and "hash_family" in out
+
+
 def test_cli_partitioned_output(spark, sf_dir, tmp_path, capsys):
     from lasvdedup_spark.sources.pages import synth_pages_with_dups
 

@@ -28,8 +28,25 @@ def test_pyfiles_zip_contents_and_determinism(tmp_path):
     assert "lasvdedup_spark/pipeline.py" in names
     assert "lasvdedup_spark/operators/minhash.py" in names
     assert "lasvdedup_spark/streaming/incremental.py" in names
+    assert "lasvdedup_spark/default_config.yaml" in names
     assert not any("__pycache__" in n for n in names)
-    assert all(n.endswith(".py") for n in names)
+    assert all(n.endswith((".py", ".yaml")) for n in names)
+
+
+def test_packaged_default_config_matches_dataclass_defaults():
+    """The shipped default_config.yaml IS the dataclass defaults — the
+    reference's packaged-config contract (utils/resources.py:4-6 +
+    config_setup.py's packaged-default precedence floor)."""
+    from lasvdedup_spark.config import DedupConfig
+    from lasvdedup_spark.resources import (
+        get_default_config_path,
+        get_default_config_text,
+    )
+
+    path = get_default_config_path()
+    assert os.path.isfile(path)
+    assert DedupConfig.from_yaml(path) == DedupConfig()
+    assert get_default_config_text().startswith("#")
 
 
 def test_spark_submit_pyfiles_end_to_end(spark, sf_dir, tmp_path):
