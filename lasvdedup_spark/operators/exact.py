@@ -5,14 +5,15 @@ tree ops, /root/reference/lasvdedup/utils/sequence_grouping.py:209-254)
 becomes staged filtering here: exact-hash dedup first, each later tier
 (simhash, minhash/LSH, substring) only refines what remains.
 
-Pure built-ins: md5 -> groupBy -> window. One shuffle on the content hash;
-at 100 TB this is the map-side-combinable kind (distinct hashes << rows when
-duplication exists; AQE coalesces the tiny post-agg partitions).
+Pure built-ins: content hash -> groupBy agg -> join back. The aggregate
+shuffle on the content hash is the map-side-combinable kind (distinct
+hashes << rows when duplication exists; AQE coalesces the tiny post-agg
+partitions), and no single task ever holds a whole hash group.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,13 +47,32 @@ def exact_dup_clusters(
     (io_utils.py:48-55); distributed engines have no input order, so the
     explicit id tiebreak is the order-isomorphic equivalent (SURVEY §7).
     """
-    h = with_content_hash(pages, hash_family=hash_family)
-    w = Window.partitionBy("content_hash")
-    return (
-        h.select(id_col, "content_hash")
-        .withColumn("cluster_size", F.count("*").over(w))
-        .withColumn("rep_id", F.min(id_col).over(w))
-        .withColumn("is_duplicate", (F.col(id_col) != F.col("rep_id")))
+    # lazy localCheckpoint: (id, hash) feeds BOTH the aggregate and the
+    # join-back side; without it the content hash over the full text is
+    # computed twice (no cross-subtree CSE). Lazy = no job at composition.
+    h = (
+        with_content_hash(pages, hash_family=hash_family)
+        .select(id_col, "content_hash")
+        .localCheckpoint(eager=False)
+    )
+    # groupBy + join back, NOT count/min over Window.partitionBy(hash): the
+    # window shuffles every member of a mega-cluster of identical pages
+    # into ONE task and sorts it there (Exchange + Sort + Window in the
+    # plan). The aggregate is map-side combinable — each task pre-reduces
+    # its local members to one (hash, count, min) row before the exchange —
+    # so a 10^8-member boilerplate cluster costs one narrow row per map
+    # task instead of one fat sorted task; the join back is a plain hash
+    # join that AQE turns into a broadcast when the distinct-hash table is
+    # small and splits when it is skewed (guide §2.3, §2.5).
+    per_hash = h.groupBy("content_hash").agg(
+        F.count("*").alias("cluster_size"), F.min(id_col).alias("rep_id")
+    )
+    return h.join(per_hash, "content_hash").select(
+        id_col,
+        "content_hash",
+        "cluster_size",
+        "rep_id",
+        (F.col(id_col) != F.col("rep_id")).alias("is_duplicate"),
     )
 
 

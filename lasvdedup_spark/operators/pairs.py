@@ -86,7 +86,18 @@ def salted_pair_join(
     # composition time.
     keyed = keyed.localCheckpoint(eager=False)
     sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_ksz"))
-    big = sizes.where(F.col("_ksz") > skew_cutoff).select(key_col)
+    # The census result is itself referenced FOUR times (anti probe x2 via
+    # the a/b aliases, semi probe x2) and Spark has no cross-subtree CSE:
+    # without its own lazy checkpoint the full census aggregation — a
+    # complete pass over `keyed` plus an exchange — appears four times in
+    # the physical plan (4 Exchange census subtrees measured in the r06
+    # before-plans). Checkpointing the tiny over-cutoff key list runs the
+    # census once; the four broadcast builds then scan the cached result.
+    big = (
+        sizes.where(F.col("_ksz") > skew_cutoff)
+        .select(key_col)
+        .localCheckpoint(eager=False)
+    )
 
     small = keyed.join(F.broadcast(big), key_col, "left_anti")
     plain = (
@@ -159,7 +170,14 @@ def salted_cross_join(
     left = left.localCheckpoint(eager=False)
     right = right.localCheckpoint(eager=False)
     sizes = right.groupBy(key_col).agg(F.count("*").alias("_ksz"))
-    big = sizes.where(F.col("_ksz") > skew_cutoff).select(key_col)
+    # single census: see salted_pair_join — `big` feeds three broadcast
+    # probes; without its own checkpoint the census pass over `right`
+    # replicates per probe
+    big = (
+        sizes.where(F.col("_ksz") > skew_cutoff)
+        .select(key_col)
+        .localCheckpoint(eager=False)
+    )
 
     r_small = right.join(F.broadcast(big), key_col, "left_anti")
     plain = left.alias("a").join(r_small.alias("b"), key_col).select(*_out())
@@ -226,7 +244,13 @@ def capped_by_key(
     keyed = keyed.localCheckpoint(eager=False)
 
     sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_ksz"))
-    big = sizes.where(F.col("_ksz") > cap).select(key_col)
+    # single census (see salted_pair_join): `big` feeds two broadcast
+    # probes; checkpoint so the census pass over `keyed` runs once
+    big = (
+        sizes.where(F.col("_ksz") > cap)
+        .select(key_col)
+        .localCheckpoint(eager=False)
+    )
     small = keyed.join(F.broadcast(big), key_col, "left_anti")
 
     big_rows = (
