@@ -352,6 +352,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 0,
+    salt_buckets: int = 8,
+    skew_cutoff: int = 1024,
 ) -> DataFrame:
     """IVF-flat approximate top-k self-search: every vector is indexed in
     its nearest centroid's list; each query probes its n_probe nearest
@@ -373,13 +375,26 @@ def ivf_topk(
     probes = ivf_assign(vectors, cents, n_probe, id_col, vec_col).select(
         F.col("id").alias("qid"), "cid"
     )
-    # no distinct needed: each target lives in exactly ONE list (index is
-    # n_probe=1), so a (qid, tid) pair can only arise via that single cid
-    cand = (
-        probes.join(index, "cid")
-        .where(F.col("qid") != F.col("tid"))
-        .select("qid", "tid")
-    )
+    # Salted probe-vs-list join: clustered data makes hot inverted lists by
+    # construction (that is what Lloyd optimizes for) — an unsalted join on
+    # cid lands a hot list's |list| x |probes| pair space in the tasks
+    # keyed by that cid. salted_cross_join spreads each over-cutoff list
+    # over the salt buckets (probes replicate, list members keep one salt).
+    # dedup=False: each target lives in exactly ONE list (index is
+    # n_probe=1), so a (qid, tid) pair can only arise via that single cid —
+    # the pair groupBy would be a full extra exchange deduplicating nothing.
+    from lasvdedup_spark.operators.pairs import salted_cross_join
+
+    cand = salted_cross_join(
+        probes.select(F.col("qid").alias("id"), "cid"),
+        index.select(F.col("tid").alias("id"), "cid"),
+        "cid",
+        salt_buckets,
+        skew_cutoff,
+        out_left="qid",
+        out_right="tid",
+        dedup=False,
+    ).where(F.col("qid") != F.col("tid"))
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     scored = (
         cand.join(v.select(F.col("id").alias("qid"), F.col("vec").alias("qvec")), "qid")
@@ -402,22 +417,38 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    salt_buckets: int = 8,
+    skew_cutoff: int = 1024,
 ) -> DataFrame:
     """Approximate top-k neighbors per vector among candidates colliding in
     ANY banding table (OR over tables = the recall knob; bucket cap = the
     worst-case cost knob). Candidates are deduped on the narrow (qid, tid)
-    pairs BEFORE the wide vectors join in for scoring."""
+    pairs BEFORE the wide vectors join in for scoring.
+
+    Pair generation routes through the shared salted_pair_join (a
+    boilerplate hyperplane bucket of m near-identical vectors otherwise
+    enumerates its m^2 directional candidates in the tasks keyed by that
+    bucket — the same hazard class every dedup tier salts); the top-k
+    window needs BOTH orientations of each pair, so the unordered pairs
+    are expanded with a union of the swap afterwards. Collision counts
+    are orientation-symmetric, so the expansion is exact."""
     tables = _as_tables(planes)
     b = ann_capped_buckets(
         ann_buckets_multi(vectors, tables, id_col, vec_col), max_bucket_size
     )
-    a = b.select(F.col("id").alias("qid"), "bucket")
-    t = b.select(F.col("id").alias("tid"), "bucket")
-    cand = (
-        a.join(t, "bucket")
-        .where(F.col("qid") != F.col("tid"))
-        .groupBy("qid", "tid")
-        .agg(F.count("*").alias("n_tables"))
+    from lasvdedup_spark.operators.pairs import salted_pair_join
+
+    # lazy checkpoint: the orientation expansion references the unordered
+    # pairs twice; without it the whole salted-join subtree executes twice
+    und = salted_pair_join(
+        b, "bucket", salt_buckets, skew_cutoff, count_alias="n_tables"
+    ).localCheckpoint(eager=False)
+    cand = und.select(
+        F.col("id_a").alias("qid"), F.col("id_b").alias("tid"), "n_tables"
+    ).unionByName(
+        und.select(
+            F.col("id_b").alias("qid"), F.col("id_a").alias("tid"), "n_tables"
+        )
     )
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     scored = (

@@ -135,6 +135,7 @@ def salted_cross_join(
     id_col: str = "id",
     out_left: str = "id_l",
     out_right: str = "id_r",
+    dedup: bool = True,
 ) -> DataFrame:
     """Bipartite analog of salted_pair_join: every (left-id, right-id)
     collision on ``key_col``, with <count_alias> = number of distinct keys
@@ -152,7 +153,13 @@ def salted_cross_join(
     groupBy on the pair (map-side combinable), never distinct() on the
     exploded rows. Both inputs are referenced by multiple subtrees
     (census / anti / semi), hence the lazy localCheckpoints — still no job
-    at plan-composition time."""
+    at plan-composition time.
+
+    dedup=False skips the final pair groupBy (and the <count_alias>
+    column): for callers where each (l, r) pair can only arise via ONE key
+    by construction (IVF: every target lives in exactly one inverted
+    list), the groupBy would be a full extra exchange of the candidate set
+    that deduplicates nothing."""
     lid, rid = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
 
     def _out(a: str = "a", b: str = "b") -> list:
@@ -163,6 +170,8 @@ def salted_cross_join(
 
     if salt_buckets <= 1:
         joined = left.alias("a").join(right.alias("b"), key_col)
+        if not dedup:
+            return joined.select(*_out())
         return joined.select(*_out()).groupBy(out_left, out_right).agg(
             F.count("*").alias(count_alias)
         )
@@ -191,10 +200,11 @@ def salted_cross_join(
     )
     salted = l_big.alias("a").join(r_big.alias("b"), [key_col, "_salt"]).select(*_out())
 
-    return (
-        plain.unionByName(salted)
-        .groupBy(out_left, out_right)
-        .agg(F.count("*").alias(count_alias))
+    both = plain.unionByName(salted)
+    if not dedup:
+        return both
+    return both.groupBy(out_left, out_right).agg(
+        F.count("*").alias(count_alias)
     )
 
 

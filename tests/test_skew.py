@@ -269,3 +269,72 @@ def test_capped_by_key_matches_bruteforce_rule(spark):
         for r in capped_by_key(df, "bucket", cap).collect()
     }
     assert got == want
+
+
+def test_ann_lsh_topk_salted_equals_plain(spark):
+    """The ANN top-k serving path routes its bucket self-join through
+    salted_pair_join (r5 verdict: the last unsalted quadratic-per-key
+    self-join). A hot hyperplane bucket (many near-identical vectors) must
+    yield IDENTICAL top-k rows on the salted and unsalted paths, and the
+    salted plan must show the salted-union shape."""
+    import random
+
+    from lasvdedup_spark.operators.ann import ann_lsh_topk, plane_tables
+
+    rng = random.Random(3)
+    rows = [
+        # 60 near-identical vectors -> one hot bucket in every table
+        (i, [1.0 + rng.random() * 1e-3 for _ in range(8)])
+        for i in range(60)
+    ] + [
+        (100 + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tables = plane_tables(2, 4, 8)
+
+    def rows_of(df):
+        return {(r["qid"], r["tid"], r["pos"], r["score"]) for r in df.collect()}
+
+    plain = rows_of(ann_lsh_topk(emb, tables, k=3, salt_buckets=1))
+    salted_df = ann_lsh_topk(emb, tables, k=3, salt_buckets=4, skew_cutoff=16)
+    assert plain == rows_of(salted_df)
+    # the salted-union shape sits behind the lazy checkpoint of the
+    # unordered pairs (invisible in the downstream executed plan), so pin
+    # it on the candidate subtree ann_lsh_topk builds: the same
+    # salted_pair_join over the same capped multi-table buckets
+    from lasvdedup_spark.operators.ann import ann_buckets_multi
+    from lasvdedup_spark.operators.pairs import salted_pair_join
+
+    cand = salted_pair_join(
+        ann_buckets_multi(emb, tables), "bucket", 4, 16, "n_tables"
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan and "Union" in plan
+
+
+def test_ivf_topk_salted_equals_plain(spark):
+    """The IVF probe-vs-list join routes through salted_cross_join:
+    clustered data makes hot inverted lists by construction. A dominant
+    list must yield IDENTICAL top-k rows salted and unsalted."""
+    import random
+
+    from lasvdedup_spark.operators.ann import ivf_topk
+
+    rng = random.Random(5)
+    rows = [
+        # 70 vectors clustered near one point -> one hot inverted list
+        (i, [2.0 + rng.random() * 1e-2 for _ in range(8)])
+        for i in range(70)
+    ] + [
+        (200 + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def rows_of(df):
+        return {(r["qid"], r["tid"], r["pos"], r["score"]) for r in df.collect()}
+
+    plain = rows_of(ivf_topk(emb, 6, k=3, n_probe=2, salt_buckets=1))
+    salted_df = ivf_topk(emb, 6, k=3, n_probe=2, salt_buckets=4, skew_cutoff=16)
+    assert plain == rows_of(salted_df)
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan and "Union" in plan
