@@ -88,7 +88,6 @@ def classify(
     failure). Substring's jaccard=1.0 span edges are NOT transitive and
     must not set the flag."""
     members = assignments.join(stats, "id", "inner")
-    members = rank_members(members, cfg, quality_cols=quality_cols)
 
     # --- per-component pair stats (edges live within components by construction)
     ecomp = edges.join(
@@ -168,46 +167,55 @@ def classify(
     )
     evolution_threshold = (1.0 - cfg.strong_threshold) / cfg.z_threshold
 
-    # ONE aggregation to per-(component, member) grain, then every
-    # component-level statistic — pair count, min jaccard, exact median,
-    # exact MAD — as window aggregates over the SAME component
-    # partitioning. The round-2 formulation computed each of these as its
-    # own groupBy + join back (med, mad, robust, comp_pairs = 5 extra
-    # exchanges / stage barriers per run); windows sharing one partitioning
-    # are a single exchange and two WindowExec passes (mad must see med).
-    # Identical values: median === percentile(0.5) (exact, numpy-matching,
-    # distance_matrix.py:53-54), and sum(per-member endpoint counts)/2 ===
-    # count of edges. The transitive (exact-tier) path reuses all of it —
-    # only n_pairs comes from the implied-pair accounting above instead of
-    # the windowed edge count.
-    wcs = Window.partitionBy("component")
-    scores = half.groupBy("component", "id").agg(
-        (1.0 - F.avg("jaccard")).alias("mean_dist"),
-        F.count("*").alias("_cnt"),
-        F.min("jaccard").alias("_mj"),
+    # ONE aggregation to per-(component, member) grain, then EVERYTHING —
+    # the scores join, the rank window, and every component-level
+    # statistic (pair count, min jaccard, exact median, exact MAD) — over
+    # ONE component partitioning. Both join inputs are repartitioned by
+    # component up front; the (component, id) equi-join then needs no
+    # exchange of its own (hashpartitioning(component) already clusters
+    # the join keys), the per-member aggregation reuses the half-side
+    # exchange the same way, and every window below declares
+    # partitionBy(component), so the whole post-join cascade runs inside
+    # the two established partitionings. The r5 formulation computed the
+    # component statistics on the scores side, re-shuffled both sides by
+    # id to join, and re-shuffled the result by component for the
+    # remaining windows — 6 exchanges where 2 suffice (guide §2.4: two
+    # operations keyed the same way share one exchange). Values are
+    # unchanged: the join is 1:<=1 (ids unique), so rank/medians/sums see
+    # the same rows; F.median / F.min / F.sum ignore the nulls that
+    # edge-less members contribute, exactly like the old left-join misses.
+    scores = (
+        half.repartition("component")
+        .groupBy("component", "id")
+        .agg(
+            (1.0 - F.avg("jaccard")).alias("mean_dist"),
+            F.count("*").alias("_cnt"),
+            F.min("jaccard").alias("_mj"),
+        )
     )
+    m = members.repartition("component").join(
+        scores, ["component", "id"], "left"
+    )
+    m = rank_members(m, cfg, quality_cols=quality_cols)
+
+    wc = Window.partitionBy("component")
     if comp_pairs is None:
-        scores = scores.withColumn("n_pairs", F.sum("_cnt").over(wcs) / 2)
+        m = m.withColumn("n_pairs", F.sum("_cnt").over(wc) / 2)
     else:
-        scores = scores.join(comp_pairs, "component")
-    scores = scores.withColumn("min_jaccard", F.min("_mj").over(wcs)).withColumn(
-        "med", F.median("mean_dist").over(wcs)
+        # left join: members of edge-less (singleton) components keep
+        # n_pairs null — identically the old scores-left-join miss
+        m = m.join(comp_pairs, "component", "left")
+    m = m.withColumn("min_jaccard", F.min("_mj").over(wc)).withColumn(
+        "med", F.median("mean_dist").over(wc)
     )
-    scores = scores.withColumn(
-        "mad", F.median(F.abs(F.col("mean_dist") - F.col("med"))).over(wcs)
+    m = m.withColumn(
+        "mad", F.median(F.abs(F.col("mean_dist") - F.col("med"))).over(wc)
     )
-    scores = scores.withColumn(
+    m = m.withColumn(
         "cutoff",
         F.when(F.col("mad") == 0.0, F.col("med") + F.lit(evolution_threshold))
         .otherwise(F.col("med") + F.lit(cfg.z_threshold) * F.col("mad")),
     )
-    m = members.join(
-        scores.select("id", "mean_dist", "n_pairs", "min_jaccard", "cutoff"),
-        "id",
-        "left",
-    )
-
-    wc = Window.partitionBy("component")
     m = m.withColumn("cluster_size", F.count("*").over(wc))
     m = m.withColumn(
         "is_outlier",

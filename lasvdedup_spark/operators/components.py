@@ -34,11 +34,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
     m = bid.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    # No distinct() here: the output feeds _small_star, whose min-aggregate
+    # is duplicate-insensitive and whose own final distinct dedupes the
+    # round's result — the intermediate exchange deduplicated nothing the
+    # next operator could not absorb (one exchange per round saved).
     return (
         bid.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -127,8 +130,10 @@ def connected_components(
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
     # At fixpoint every edge points directly at its component root (min id).
+    # No distinct() on the roots: the groupBy below deduplicates the union
+    # anyway — the extra exchange bought nothing.
     nodes_as_src = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
-    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component")).distinct()
+    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
     return nodes_as_src.unionAll(roots).groupBy("id").agg(
         F.min("component").alias("component")
     )
@@ -137,14 +142,23 @@ def connected_components(
 def assign_components(
     all_ids: DataFrame, edges: DataFrame, id_col: str = "url",
     assume_distinct: bool = False, input_cached: bool = False,
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """(id, component) for EVERY row in all_ids; nodes without edges become
     their own singleton component (reference Case 1 SingleSequence feed,
-    sequence_grouping.py:210-221)."""
+    sequence_grouping.py:210-221).
+
+    assume_unique_ids=True skips the defensive distinct() over the id
+    universe — a full exchange of the largest table in the job. The
+    pipeline passes True: its id column is the page url, a primary key by
+    the input contract (validate_pages_schema), so the distinct
+    deduplicated nothing."""
     comp = connected_components(
         edges, assume_distinct=assume_distinct, input_cached=input_cached
     )
-    ids = all_ids.select(F.col(id_col).cast("string").alias("id")).distinct()
+    ids = all_ids.select(F.col(id_col).cast("string").alias("id"))
+    if not assume_unique_ids:
+        ids = ids.distinct()
     return ids.join(comp, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")
     )

@@ -645,8 +645,12 @@ def dedup(
         # one), so the defensive de-dup exchange inside CC is redundant here
         # meta, not narrow: components only needs the id universe — reading
         # it from the lean checkpoint avoids re-scanning input text
+        # assume_unique_ids: url is the input's primary key (validated
+        # schema) — the defensive distinct() was a full exchange of the
+        # whole id universe deduplicating nothing
         lambda: components.assign_components(
-            meta, edges, assume_distinct=True, input_cached=True
+            meta, edges, assume_distinct=True, input_cached=True,
+            assume_unique_ids=True,
         ),
         heavy=True,
     )
