@@ -20,7 +20,9 @@ collision-prone id hashing, no GraphFrames dependency.
 
 Driver-side loop with localCheckpoint() per round to truncate lineage
 (otherwise the plan doubles each round and Catalyst analysis time explodes);
-convergence check = (count, xor-ish checksum) fixpoint.
+convergence is read off each round directly — the edge set is a fixpoint
+iff it is a star forest (no node appears as both src and dst), so no
+confirmation round is ever computed.
 """
 
 from __future__ import annotations
@@ -62,18 +64,34 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    """Order-insensitive (count, xor-hash) of the edge set. Run against a
-    LAZY localCheckpoint, this one action both materializes the checkpoint
-    (truncating lineage) and returns the convergence signature — one Spark
-    job per CC iteration instead of the two (eager checkpoint + collect)
-    the round-1 loop paid; the driver-coordinated fixpoint was the largest
-    serial cost in the scaling profile."""
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _star_violations(edges: DataFrame) -> int:
+    """Number of nodes appearing as BOTH a src and a dst — zero iff the
+    edge set is a star forest rooted at component minima, which is exactly
+    the alternating large/small-star fixpoint (every small-star output
+    edge already has dst < src, and large_star/small_star are the identity
+    on a star forest). Run against a LAZY localCheckpoint, this one action
+    both materializes the round (truncating lineage) and returns the
+    convergence signature.
+
+    Versus the previous (count, xor-hash)-equality check: checksum
+    equality can only observe convergence by computing round N+1 and
+    finding it equal to round N — one full large+small-star pass (three
+    exchanges plus two aggregate joins) spent proving a fixpoint this
+    predicate reads off round N directly. The violation census is one
+    map-side-combinable groupBy over the round's edges; rounds drop by
+    exactly one at every scale."""
+    nodes = edges.select(
+        F.col("src").alias("n"), F.lit(1).alias("s"), F.lit(0).alias("d")
+    ).unionAll(
+        edges.select(F.col("dst").alias("n"), F.lit(0).alias("s"), F.lit(1).alias("d"))
+    )
+    row = (
+        nodes.groupBy("n")
+        .agg(F.max("s").alias("s"), F.max("d").alias("d"))
+        .agg(F.count(F.when((F.col("s") == 1) & (F.col("d") == 1), 1)).alias("v"))
+        .collect()[0]
+    )
+    return int(row["v"])
 
 
 def connected_components(
@@ -117,15 +135,14 @@ def connected_components(
     elif not input_cached:
         e = e.localCheckpoint(eager=True)
 
-    prev = None
     for _ in range(max_iter):
-        # lazy checkpoint + checksum action = ONE job materializing the
-        # round (see _checksum); eager=True would spend a second job
+        # lazy checkpoint + violation-census action = ONE action
+        # materializing the round (see _star_violations); eager=True would
+        # spend a second job, and checksum-equality would spend a whole
+        # extra confirmation round
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cur = _checksum(e)
-        if cur == prev:
+        if _star_violations(e) == 0:
             break
-        prev = cur
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
