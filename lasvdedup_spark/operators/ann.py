@@ -64,24 +64,6 @@ def cosine_expr(a: str, b: str):
     return F.expr(f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})")
 
 
-def spread_small_input(vectors: DataFrame) -> DataFrame:
-    """Guard against serialized scans (guide §2.5 input skew): a small
-    single-file vector table arrives as ONE scan partition, so the
-    hyperplane-bucket / centroid-assignment projections — the expensive
-    per-row math of every ANN path — run in one task no matter how many
-    cores exist. If the input's partition count is below the cluster's
-    default parallelism, repartition up (a narrow exchange of the small
-    table); inputs that already exceed the core count pass through
-    untouched, so cluster-scale tables never lose their partitioning.
-    Scale-adaptive by construction: the branch reads only partition-count
-    metadata, never the data."""
-    sc = vectors.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if vectors.rdd.getNumPartitions() < target:
-        return vectors.repartition(target)
-    return vectors
-
-
 def knn_bruteforce(
     queries: DataFrame,   # (qid, qvec)
     targets: DataFrame,   # (tid, tvec)
@@ -90,7 +72,6 @@ def knn_bruteforce(
     """Exact top-k cosine per query. The query side is expected small
     (broadcast); targets stream through — one pass, no shuffle of targets.
     -> (qid, tid, pos, score)."""
-    targets = spread_small_input(targets)
     j = targets.crossJoin(F.broadcast(queries))
     scored = j.withColumn("score", cosine_expr("qvec", "tvec"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("tid"))
@@ -211,7 +192,6 @@ def cosine_dup_pairs(
     from lasvdedup_spark.operators.pairs import salted_pair_join
 
     tables = _as_tables(planes)
-    vectors = spread_small_input(vectors)
     b = ann_capped_buckets(
         ann_buckets_multi(vectors, tables, id_col, vec_col), max_bucket_size
     )
@@ -383,7 +363,6 @@ def ivf_topk(
     production path — recall at equal n_probe only improves when lists
     follow the data); 0 keeps the raw seeds the DuckDB oracle replicates.
     -> (qid, tid, pos, score)."""
-    vectors = spread_small_input(vectors)
     if lloyd_iters > 0:
         cents = ivf_lloyd_centroids(
             vectors, n_centroids, lloyd_iters, id_col, vec_col
@@ -454,7 +433,6 @@ def ann_lsh_topk(
     are expanded with a union of the swap afterwards. Collision counts
     are orientation-symmetric, so the expansion is exact."""
     tables = _as_tables(planes)
-    vectors = spread_small_input(vectors)
     b = ann_capped_buckets(
         ann_buckets_multi(vectors, tables, id_col, vec_col), max_bucket_size
     )
