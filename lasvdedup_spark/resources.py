@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import atexit
 import contextlib
+import functools
 import importlib.resources
 
 _exit_stack: contextlib.ExitStack | None = None
@@ -29,6 +30,7 @@ def get_default_config_text() -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
 def get_default_config_path() -> str:
     """Filesystem path to the packaged default config YAML.
 
@@ -36,6 +38,10 @@ def get_default_config_path() -> str:
     the package is imported from a --py-files zip, the resource is
     extracted to a temp file that lives until interpreter exit (the same
     lifetime contract importlib.resources documents for as_file).
+    Memoized (r5 advice): each call used to enter a fresh as_file context
+    on the shared ExitStack — from a zip that extracted a new temp file per
+    call, accumulating until interpreter exit, and the lazy stack init was
+    a minor thread race; at most one extraction now happens per process.
     """
     global _exit_stack
     res = importlib.resources.files("lasvdedup_spark").joinpath(
