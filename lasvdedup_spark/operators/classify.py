@@ -162,39 +162,72 @@ def classify(
         comp_pairs = None  # default path: pair count folds into the window pass
 
     # --- per-member mean distance to other members (outlier score)
-    half = ecomp.select("component", F.col("id_a").alias("id"), "jaccard").unionAll(
-        ecomp.select("component", F.col("id_b").alias("id"), "jaccard")
-    )
+    # explode, not union-of-selects: the union referenced ecomp (an
+    # edges-to-assignments join) from two subtrees, executing that join —
+    # and its exchanges — twice; one explode emits both endpoint rows in a
+    # single pass over one join
+    half = ecomp.select(
+        "component",
+        "jaccard",
+        F.explode(F.array("id_a", "id_b")).alias("id"),
+    ).select("component", "id", "jaccard")
     evolution_threshold = (1.0 - cfg.strong_threshold) / cfg.z_threshold
 
-    # ONE aggregation to per-(component, member) grain, then EVERYTHING —
-    # the scores join, the rank window, and every component-level
-    # statistic (pair count, min jaccard, exact median, exact MAD) — over
-    # ONE component partitioning. Both join inputs are repartitioned by
-    # component up front; the (component, id) equi-join then needs no
-    # exchange of its own (hashpartitioning(component) already clusters
-    # the join keys), the per-member aggregation reuses the half-side
-    # exchange the same way, and every window below declares
-    # partitionBy(component), so the whole post-join cascade runs inside
-    # the two established partitionings. The r5 formulation computed the
-    # component statistics on the scores side, re-shuffled both sides by
-    # id to join, and re-shuffled the result by component for the
-    # remaining windows — 6 exchanges where 2 suffice (guide §2.4: two
-    # operations keyed the same way share one exchange). Values are
-    # unchanged: the join is 1:<=1 (ids unique), so rank/medians/sums see
-    # the same rows; F.median / F.min / F.sum ignore the nulls that
-    # edge-less members contribute, exactly like the old left-join misses.
-    scores = (
-        half.repartition("component")
+    # ONE exchange for the whole member-grain flow. Member rows and
+    # edge-endpoint rows are UNIONED (not joined): one repartition by
+    # component, then a single groupBy (component, id) computes the
+    # per-member edge statistics (avg/count/min over the endpoint rows —
+    # the aggregates ignore the member row's null jaccard) AND carries the
+    # member metadata (max over a singleton — ids are unique per the input
+    # contract), reproducing the old members-left-join-scores row set
+    # exactly: the member marker keeps only ids that exist in `members`
+    # (edge rows for unknown ids are dropped, as the old left join did),
+    # and edge-less members keep null mean_dist/_mj like the old join
+    # misses. The aggregation accepts the subset partitioning
+    # (hashpartitioning(component) clusters its (component, id) keys), and
+    # every window below declares partitionBy(component), so the rank
+    # window and every component statistic (pair count, min jaccard,
+    # exact median/MAD, cluster size, outliers, representative) reuse the
+    # one exchange. The r5 formulation shuffled score rows by
+    # (component, id), re-shuffled both sides by id to join, and
+    # re-shuffled the result by component for the remaining windows — and
+    # a (component, id) JOIN cannot reuse a component-only partitioning
+    # under Spark 4's all-cluster-keys co-partitioning requirement
+    # (spark.sql.requireAllClusterKeysForCoPartition), which is why the
+    # merge is an aggregation, not a join (guide §2.4: operations keyed
+    # the same way share one exchange).
+    mcols = [c for c in members.columns if c not in ("id", "component")]
+    mtypes = {f.name: f.dataType for f in members.schema.fields}
+    m_side = members.select(
+        "component",
+        "id",
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(1).alias("_is_member"),
+        *mcols,
+    )
+    h_side = half.select(
+        "component",
+        "id",
+        F.col("jaccard").cast("double").alias("jaccard"),
+        F.lit(0).alias("_is_member"),
+        *[F.lit(None).cast(mtypes[c]).alias(c) for c in mcols],
+    )
+    m = (
+        m_side.unionByName(h_side)
+        .repartition("component")
         .groupBy("component", "id")
         .agg(
             (1.0 - F.avg("jaccard")).alias("mean_dist"),
-            F.count("*").alias("_cnt"),
+            # count of ENDPOINT rows (the old count(*) over half rows):
+            # counted via the marker so a hypothetical null-jaccard edge
+            # still counts, exactly as before
+            F.count(F.when(F.col("_is_member") == 0, 1)).alias("_cnt"),
             F.min("jaccard").alias("_mj"),
+            F.max("_is_member").alias("_im"),
+            *[F.max(c).alias(c) for c in mcols],
         )
-    )
-    m = members.repartition("component").join(
-        scores, ["component", "id"], "left"
+        .where(F.col("_im") == 1)
+        .drop("_im")
     )
     m = rank_members(m, cfg, quality_cols=quality_cols)
 
