@@ -84,3 +84,41 @@ def test_threshold_boundary_inclusive(spark):
     got = {r["id"]: r["component"] for r in connected_components(at_t).collect()}
     assert _groups(got) == {frozenset("ABC")}
     assert above_t.count() == 0
+
+
+def test_star_violations_zero_iff_star_forest(spark):
+    """r6 convergence predicate: a small-star output is a fixpoint iff it
+    is a star forest (no node both a src and a dst). Pinning the predicate
+    directly guards the no-confirmation-round optimization."""
+    from lasvdedup_spark.operators.components import _star_violations
+
+    star = spark.createDataFrame(
+        [("B", "A"), ("C", "A"), ("Y", "X")], ["src", "dst"]
+    )
+    assert _star_violations(star) == 0
+    chain = spark.createDataFrame(
+        [("B", "A"), ("C", "B")], ["src", "dst"]  # B is src AND dst
+    )
+    assert _star_violations(chain) == 1
+
+
+def test_cc_converges_in_one_round_on_star_input(spark):
+    """An already-star edge set must converge in exactly ONE round (the
+    old checksum-equality check needed a second, confirming round)."""
+    import lasvdedup_spark.operators.components as comp
+
+    star = spark.createDataFrame(
+        [("B", "A"), ("C", "A")], ["src", "dst"]
+    )
+    calls = []
+    orig = comp._star_violations
+    try:
+        comp._star_violations = lambda e: calls.append(1) or orig(e)
+        got = {
+            r["id"]: r["component"]
+            for r in comp.connected_components(star).collect()
+        }
+    finally:
+        comp._star_violations = orig
+    assert got == {"A": "A", "B": "A", "C": "A"}
+    assert len(calls) == 1

@@ -163,3 +163,28 @@ def test_ivf_centroids_broadcast_and_take_ordered(spark, sf_dir):
     plan = _plan(assigned)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_classify_single_member_grain_exchange(spark):
+    """r6: classify flows through ONE repartition-by-component exchange —
+    the member/score merge is a union + aggregation reusing it (a
+    (component, id) join would re-shuffle under Spark 4's
+    all-cluster-keys co-partitioning), and the rank window plus every
+    component statistic declare the same partitioning. Regression guard:
+    no (component, id) hashpartitioning may appear, and exactly one
+    REPARTITION exchange of member-grain data."""
+    from lasvdedup_spark.config import DedupConfig
+    from lasvdedup_spark.operators.classify import classify
+
+    assignments = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], ["id", "component"]
+    )
+    edges = spark.createDataFrame([("a", "b", 0.9)], ["id_a", "id_b", "jaccard"])
+    stats = spark.createDataFrame(
+        [("a", 100), ("b", 200), ("c", 300)], ["id", "n_chars"]
+    )
+    df = classify(assignments, edges, stats, DedupConfig())
+    plan = _plan(df)
+    import re
+    assert not re.search(r"hashpartitioning\(component#\d+, id#", plan), plan
+    assert plan.count("REPARTITION_BY_COL") == 1, plan
