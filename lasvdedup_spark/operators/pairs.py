@@ -30,6 +30,7 @@ def salted_pair_join(
     count_alias: str = "n_keys",
     id_col: str = "id",
     carry: str | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """keyed(id, key) -> distinct unordered pairs (id_a < id_b, <count_alias>)
     where <count_alias> = number of distinct keys the pair collided on.
@@ -53,6 +54,14 @@ def salted_pair_join(
     (minhash signatures, embedding vectors) do NOT carry — the payload
     would multiply through every (key, id) row of the shuffle, which is
     exactly what the candidates-then-verify shape avoids.
+
+    dedup=False skips the pair groupBy — the one full exchange of the
+    candidate set — and instead returns one row PER COLLIDING KEY with the
+    key column included (named <key_col>; no <count_alias>). For callers
+    whose carried payload lets them decide, per row, whether this key is
+    the pair's canonical one (simhash: the first agreeing band is
+    derivable from the two fingerprints), a map-side filter then yields
+    each pair exactly once with NO shuffle at all.
     """
     kid = F.col(id_col)
     pa, pb = (f"{carry}_a", f"{carry}_b") if carry else (None, None)
@@ -67,6 +76,8 @@ def salted_pair_join(
                 F.col(f"{prefix_a}.{carry}").alias(pa),
                 F.col(f"{prefix_b}.{carry}").alias(pb),
             ]
+        if not dedup:
+            cols.append(F.col(f"{prefix_a}.{key_col}").alias(key_col))
         return cols
 
     # payload is functionally dependent on id, so grouping by it too keeps
@@ -76,6 +87,8 @@ def salted_pair_join(
     if salt_buckets <= 1:
         a, b = keyed.alias("a"), keyed.alias("b")
         joined = a.join(b, key_col).where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        if not dedup:
+            return joined.select(*_pair_cols())
         return joined.select(*_pair_cols()).groupBy(*group_cols).agg(
             F.count("*").alias(count_alias)
         )
@@ -118,11 +131,10 @@ def salted_pair_join(
         .select(*_pair_cols())
     )
 
-    return (
-        plain.unionByName(salted)
-        .groupBy(*group_cols)
-        .agg(F.count("*").alias(count_alias))
-    )
+    both = plain.unionByName(salted)
+    if not dedup:
+        return both
+    return both.groupBy(*group_cols).agg(F.count("*").alias(count_alias))
 
 
 def salted_cross_join(

@@ -189,10 +189,21 @@ def simhash_dup_pairs(
     Unlike minhash (64-int signatures -> candidates first, values joined
     back to verify), the simhash value is ONE int64, so it rides THROUGH
     the salted join (carry=) and the bit_count verify is a plain filter —
-    no verify joins at all: fold -> band explode -> salted join -> filter
-    is the whole plan (two shuffles + the skew-census probes). The fold is
-    then referenced exactly once, so the operator is genuinely lazy with
-    no shared-subtree hazard.
+    no verify joins at all. Better yet, the carried fingerprints make the
+    pair-dedup EXCHANGE unnecessary: a pair that collides in k of the 4
+    bands would emit k duplicate rows, and the generic fix (groupBy on the
+    pair) shuffles every candidate row — near-identical boilerplate
+    clusters agree on ALL 4 bands, so that exchange carries ~4x the
+    (already quadratic) matching-pair volume. Instead each joined row
+    checks whether ITS band is the pair's FIRST agreeing band — derivable
+    from simhash_a ^ simhash_b alone, since band values are literal
+    fingerprint slices (no hashing), so band j collides iff the XOR's j-th
+    15-bit slice is zero. Exactly one band passes per pair: a pure
+    map-side filter replaces the full shuffle, and the whole operator is
+    fold -> band explode -> salted join -> filter with ZERO pair-set
+    exchanges (only the skew census + broadcast probes remain). Measured
+    at sf0.1 x10 expansion (87.5M result pairs): the dedup exchange
+    carried ~350M rows; the filter removes it outright.
 
     eager=True localCheckpoints the fold first — only useful when the
     caller composes this result into something that scans it repeatedly;
@@ -218,10 +229,25 @@ def simhash_dup_pairs(
     )
     cand = salted_pair_join(
         keyed, "band_key", cfg.salt_buckets, cfg.skew_bucket_cutoff,
-        count_alias="n_bands", carry="simhash",
+        carry="simhash", dedup=False,
     )
+    mask = (1 << BAND_BITS) - 1
+    x = F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+    first_agree = F.when(x.bitwiseAND(F.lit(mask)) == 0, F.lit(0))
+    for j in range(1, N_BANDS):
+        first_agree = first_agree.when(
+            F.shiftright(x, j * BAND_BITS).bitwiseAND(F.lit(mask)) == 0,
+            F.lit(j),
+        )
+    # no otherwise(): a joined row's own band always agrees, so some WHEN
+    # always fires; a null here would mean the join matched without band
+    # agreement, which the filter below correctly drops
     return (
-        cand.withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)"))
+        cand.where(
+            F.shiftright(F.col("band_key"), BAND_BITS)
+            == first_agree.cast("long")
+        )
+        .withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)"))
         .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
         .select("id_a", "id_b", "hamming")
     )

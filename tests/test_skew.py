@@ -338,3 +338,59 @@ def test_ivf_topk_salted_equals_plain(spark):
     assert plain == rows_of(salted_df)
     plan = salted_df._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan and "Union" in plan
+
+
+def test_simhash_first_band_dedup_equals_group_dedup(spark):
+    """r6: simhash emits each pair from its FIRST agreeing band (map-side
+    filter) instead of a pair groupBy — the full exchange of the candidate
+    set. The row set must equal the generic groupBy dedup exactly, on a
+    corpus with multi-band collisions (identical docs agree on all 4)."""
+    from lasvdedup_spark.operators.pairs import salted_pair_join
+    from lasvdedup_spark.operators import simhash as S
+
+    boiler = [(f"u/b{i:02d}", "enter your username and password to continue")
+              for i in range(25)]
+    near = [(f"u/n{i:02d}", f"enter your username and passcode {i} to continue")
+            for i in range(10)]
+    distinct = [(f"u/d{i:02d}", " ".join(f"tok{i}x{j}" for j in range(25)))
+                for i in range(10)]
+    pages = spark.createDataFrame(boiler + near + distinct, "url string, text string")
+    cfg = DedupConfig(salt_buckets=4, skew_bucket_cutoff=8)
+
+    new = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in S.simhash_dup_pairs(pages, cfg).collect()}
+
+    sh = S.simhash(pages, hash_family=cfg.hash_family)
+    keyed = S.simhash_bands(sh).select(
+        "id",
+        ((F.col("band_id").cast("long") * F.lit(1 << S.BAND_BITS))
+         + F.col("band_val")).alias("band_key"),
+        "simhash",
+    )
+    cand = salted_pair_join(
+        keyed, "band_key", cfg.salt_buckets, cfg.skew_bucket_cutoff,
+        count_alias="n_bands", carry="simhash",
+    )
+    old = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in cand.withColumn(
+               "hamming", F.expr("bit_count(simhash_a ^ simhash_b)"))
+           .where(F.col("hamming") <= cfg.simhash_hamming)
+           .select("id_a", "id_b", "hamming").collect()}
+    assert new == old
+    # identical docs really did collide in all 4 bands (the dedup matters)
+    assert any(a.startswith("u/b") and b.startswith("u/b") for a, b, _ in new)
+
+
+def test_simhash_pairs_plan_has_no_pair_exchange(spark):
+    """r6 guard: the simhash pair plan must contain NO hashpartitioning
+    exchange of the pair set (the first-band filter replaced the groupBy
+    dedup); only the skew census aggregation may shuffle."""
+    from lasvdedup_spark.operators import simhash as S
+
+    pages = spark.createDataFrame(
+        [(f"u/{i}", f"text number {i} with some shared words") for i in range(20)],
+        "url string, text string",
+    )
+    df = S.simhash_dup_pairs(pages, DedupConfig())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(id_a" not in plan, plan
