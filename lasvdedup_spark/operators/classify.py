@@ -173,58 +173,65 @@ def classify(
     ).select("component", "id", "jaccard")
     evolution_threshold = (1.0 - cfg.strong_threshold) / cfg.z_threshold
 
-    # ONE exchange for the whole member-grain flow. Member rows and
-    # edge-endpoint rows are UNIONED (not joined): one repartition by
-    # component, then a single groupBy (component, id) computes the
-    # per-member edge statistics (avg/count/min over the endpoint rows —
-    # the aggregates ignore the member row's null jaccard) AND carries the
-    # member metadata (max over a singleton — ids are unique per the input
-    # contract), reproducing the old members-left-join-scores row set
-    # exactly: the member marker keeps only ids that exist in `members`
-    # (edge rows for unknown ids are dropped, as the old left join did),
-    # and edge-less members keep null mean_dist/_mj like the old join
-    # misses. The aggregation accepts the subset partitioning
-    # (hashpartitioning(component) clusters its (component, id) keys), and
-    # every window below declares partitionBy(component), so the rank
-    # window and every component statistic (pair count, min jaccard,
-    # exact median/MAD, cluster size, outliers, representative) reuse the
-    # one exchange. The r5 formulation shuffled score rows by
-    # (component, id), re-shuffled both sides by id to join, and
-    # re-shuffled the result by component for the remaining windows — and
-    # a (component, id) JOIN cannot reuse a component-only partitioning
-    # under Spark 4's all-cluster-keys co-partitioning requirement
+    # TWO exchanges for the whole member-grain flow, both load-bearing.
+    # Member rows and per-member score rows are UNIONED (not joined) and
+    # merged by a (component, id) aggregation that reuses one repartition
+    # by component: max over a <=2-row group per column reproduces the old
+    # members-left-join-scores row set exactly (the member marker keeps
+    # only ids that exist in `members`, edge rows for unknown ids drop as
+    # the old left join did, and edge-less members keep null score columns
+    # like the old join misses). The merge aggregation accepts the subset
+    # partitioning (hashpartitioning(component) clusters its
+    # (component, id) keys), and every window below declares
+    # partitionBy(component), so the rank window and every component
+    # statistic (pair count, min jaccard, exact median/MAD, cluster size,
+    # outliers, representative) all reuse that same exchange. The r5
+    # formulation shuffled score rows by (component, id), re-shuffled both
+    # sides by id to join, and re-shuffled the result by component for the
+    # remaining windows (5+ exchanges) — and a (component, id) JOIN cannot
+    # reuse a component-only partitioning under Spark 4's all-cluster-keys
+    # co-partitioning requirement
     # (spark.sql.requireAllClusterKeysForCoPartition), which is why the
     # merge is an aggregation, not a join (guide §2.4: operations keyed
     # the same way share one exchange).
+    # The endpoint rows are pre-aggregated FIRST (guide §2.3 — aggregate
+    # before you shuffle: the (component, id) groupBy partial-aggregates
+    # map-side, so the exchange carries one row per member-with-edges, not
+    # one per edge endpoint — at 10x expansion that is ~600k rows instead
+    # of ~60M); the merge union then shuffles only member-grain rows.
+    scores = half.groupBy("component", "id").agg(
+        (1.0 - F.avg("jaccard")).alias("mean_dist"),
+        F.count("*").alias("_cnt"),
+        F.min("jaccard").alias("_mj"),
+    )
     mcols = [c for c in members.columns if c not in ("id", "component")]
     mtypes = {f.name: f.dataType for f in members.schema.fields}
+    scols = {"mean_dist": "double", "_cnt": "long", "_mj": "double"}
     m_side = members.select(
         "component",
         "id",
-        F.lit(None).cast("double").alias("jaccard"),
+        *[F.lit(None).cast(t).alias(c) for c, t in scols.items()],
         F.lit(1).alias("_is_member"),
         *mcols,
     )
-    h_side = half.select(
+    s_side = scores.select(
         "component",
         "id",
-        F.col("jaccard").cast("double").alias("jaccard"),
+        *scols,
         F.lit(0).alias("_is_member"),
         *[F.lit(None).cast(mtypes[c]).alias(c) for c in mcols],
     )
     m = (
-        m_side.unionByName(h_side)
+        m_side.unionByName(s_side)
         .repartition("component")
         .groupBy("component", "id")
         .agg(
-            (1.0 - F.avg("jaccard")).alias("mean_dist"),
-            # count of ENDPOINT rows (the old count(*) over half rows):
-            # counted via the marker so a hypothetical null-jaccard edge
-            # still counts, exactly as before
-            F.count(F.when(F.col("_is_member") == 0, 1)).alias("_cnt"),
-            F.min("jaccard").alias("_mj"),
             F.max("_is_member").alias("_im"),
-            *[F.max(c).alias(c) for c in mcols],
+            # each column is non-null on exactly one side of the <=2-row
+            # group, so max() is "the value"; an edge-less member's group
+            # has only its member row, leaving the score columns null —
+            # identically the old left-join miss
+            *[F.max(c).alias(c) for c in (*scols, *mcols)],
         )
         .where(F.col("_im") == 1)
         .drop("_im")

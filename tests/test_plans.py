@@ -165,14 +165,15 @@ def test_ivf_centroids_broadcast_and_take_ordered(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_classify_single_member_grain_exchange(spark):
-    """r6: classify flows through ONE repartition-by-component exchange —
-    the member/score merge is a union + aggregation reusing it (a
-    (component, id) join would re-shuffle under Spark 4's
-    all-cluster-keys co-partitioning), and the rank window plus every
-    component statistic declare the same partitioning. Regression guard:
-    no (component, id) hashpartitioning may appear, and exactly one
-    REPARTITION exchange of member-grain data."""
+def test_classify_two_member_grain_exchanges(spark):
+    """r6: classify's member-grain flow is exactly TWO exchanges, both
+    load-bearing — the (component, id) pre-aggregation of edge endpoints
+    (map-side partial agg reduces edge-grain to member-grain BEFORE the
+    shuffle, guide §2.3) and one repartition by component that the
+    union+aggregation merge, the rank window and every component statistic
+    all reuse. Regression guards: no exchange keyed on bare id (the old
+    members-join-scores re-shuffle), exactly one REPARTITION exchange,
+    at most one (component, id) exchange."""
     from lasvdedup_spark.config import DedupConfig
     from lasvdedup_spark.operators.classify import classify
 
@@ -186,5 +187,14 @@ def test_classify_single_member_grain_exchange(spark):
     df = classify(assignments, edges, stats, DedupConfig())
     plan = _plan(df)
     import re
-    assert not re.search(r"hashpartitioning\(component#\d+, id#", plan), plan
+    # one explicit repartition(component), reused by merge + all windows
     assert plan.count("REPARTITION_BY_COL") == 1, plan
+    # one (component, id) exchange: the pre-aggregated scores (r5 had a
+    # second one re-shuffling the merged rows for the windows)
+    assert len(re.findall(r"hashpartitioning\(component#\d+, id#", plan)) <= 1, plan
+    # the merged member rows are never re-shuffled by component again:
+    # only the explicit REPARTITION_BY_COL may key on component alone
+    ens_component = re.findall(
+        r"hashpartitioning\(component#\d+, \d+\), ENSURE_REQUIREMENTS", plan
+    )
+    assert not ens_component, plan
