@@ -103,6 +103,12 @@ def classify(
         #             minhash) twice would let `n_pairs >= C(n,2)` pass on
         #             a component with genuinely unverified pairs.
         # min_jaccard is unaffected: every implied pair is 1.0.
+        #
+        # Lazy checkpoint (r6): the transitive path references ecomp from
+        # FOUR subtrees (half, rep_map, implied, cross_cluster) and Spark
+        # has no cross-subtree CSE — without it the edges-to-assignments
+        # join executes once per reference. Same for rep_map (ra + rb).
+        ecomp = ecomp.localCheckpoint(eager=False)
         trans = ecomp.where(F.col("transitive"))
         # STAR-SHAPE GUARD: the accounting below assumes each member has at
         # most ONE rep (exact.py emits star edges rep->member). classify()
@@ -118,6 +124,7 @@ def classify(
             )
             .groupBy("_member")
             .agg(F.min("_rep").alias("_rep"))
+            .localCheckpoint(eager=False)
         )
         # per-rep star degree -> cluster size m = degree + 1 -> C(m,2)
         implied = (
