@@ -109,7 +109,14 @@ def batch_pairs(
     foreachBatch. -> (id_a, id_b, jaccard), distinct."""
     from lasvdedup_spark.operators.pairs import salted_cross_join, salted_pair_join
 
-    sigs_new = batch_bands.select("id", "sig").dropDuplicates(["id"])
+    # lazy checkpoint (r6): sigs_new feeds three subtrees (sa, sb, and the
+    # cross-pair new-side lookup) and Spark has no cross-subtree CSE — the
+    # dedup exchange over the batch would otherwise run once per reference
+    sigs_new = (
+        batch_bands.select("id", "sig")
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=False)
+    )
     sa = sigs_new.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs_new.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
 
